@@ -1,0 +1,251 @@
+"""PyTorch-exact image resizing as separable interpolation matmuls.
+
+The reference pipeline (zhyever/PatchFusion) leans on `F.interpolate` with at
+least five distinct semantics (see reference `estimator/utils/metric.py:94`,
+`external/depth_anything/dpt.py:127,154`, `external/torchhub/.../
+vision_transformer.py:199-205`, `estimator/models/utils.py:32-36`):
+
+  * bilinear align_corners=True   (everywhere inside the models)
+  * bilinear align_corners=False  (eval resize to GT resolution)
+  * bicubic  align_corners=False with *explicit scale_factor* (DINOv2
+    pos-embed interpolation)
+  * nearest                        (RunningAverageMap.resize average map)
+  * bilinear with half-pixel ROI sampling (roi_align; see roi_align.py)
+
+`jax.image.resize` implements none of these exactly, so we build the 1-D
+interpolation weight matrix for each axis and contract with `einsum`. On TPU
+the contraction runs on the MXU and XLA constant-folds the weight matrices
+when shapes are static, so this is both bit-faithful and fast.
+
+All functions take/return NHWC (or N...HWC-like, H and W are the two axes
+given by `h_axis`/`w_axis`, defaulting to the canonical NHWC positions).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _source_coords(out_size: int, in_size: int, align_corners: bool,
+                   scale: Optional[float] = None) -> np.ndarray:
+    """Source-space sample coordinate for each output index (PyTorch rules).
+
+    All arithmetic in float32 to match PyTorch's CPU/CUDA kernels
+    (area_pixel_compute_scale/source_index are computed in float32), which
+    matters for bit-level parity on large downsamples.
+    """
+    d = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        if out_size == 1:
+            return np.zeros((1,), np.float32)
+        s = np.float32(in_size - 1) / np.float32(out_size - 1)
+        return (d * s).astype(np.float32)
+    # half-pixel. PyTorch uses the *given* scale_factor when provided
+    # (recompute_scale_factor=False path), else out/in.
+    s = (np.float32(in_size) / np.float32(out_size) if scale is None
+         else np.float32(1.0) / np.float32(scale))
+    return ((d + np.float32(0.5)) * s - np.float32(0.5)).astype(np.float32)
+
+
+def _linear_weights(out_size: int, in_size: int, align_corners: bool,
+                    scale: Optional[float] = None) -> np.ndarray:
+    """Dense (out_size, in_size) bilinear weight matrix, PyTorch semantics.
+
+    PyTorch clamps the source coordinate to >= 0 and clamps gather indices to
+    in_size-1; for linear interpolation that is equivalent to clamping the
+    coordinate into [0, in_size-1] and using hat weights.
+    """
+    src = np.clip(_source_coords(out_size, in_size, align_corners, scale),
+                  0.0, in_size - 1)
+    idx = np.arange(in_size, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - idx[None, :]))
+    # rows sum to 1 except possibly the degenerate in_size==1 case
+    return w.astype(np.float32)
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel (PyTorch/OpenCV use a=-0.75)."""
+    at = np.abs(t)
+    at2 = at * at
+    at3 = at2 * at
+    r = np.where(at <= 1, (a + 2) * at3 - (a + 3) * at2 + 1,
+                 np.where(at < 2, a * at3 - 5 * a * at2 + 8 * a * at - 4 * a,
+                          0.0))
+    return r
+
+
+def _cubic_weights(out_size: int, in_size: int, align_corners: bool,
+                   scale: Optional[float] = None) -> np.ndarray:
+    """Dense (out_size, in_size) bicubic weight matrix, PyTorch semantics.
+
+    PyTorch does NOT clamp the source coordinate for cubic; it clamps the four
+    gather indices (border replication), so edge rows still sum to 1.
+    """
+    src = _source_coords(out_size, in_size, align_corners, scale)
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    w_mat = np.zeros((out_size, in_size), np.float64)
+    rows = np.arange(out_size)
+    for k in range(-1, 3):
+        wk = _cubic_kernel(frac - k)
+        idx = np.clip(i0 + k, 0, in_size - 1)
+        np.add.at(w_mat, (rows, idx), wk)
+    return w_mat.astype(np.float32)
+
+
+def _nearest_weights(out_size: int, in_size: int) -> np.ndarray:
+    """PyTorch 'nearest' (legacy) semantics: src = floor(dst * in / out)."""
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
+    idx = np.clip(idx.astype(np.int64), 0, in_size - 1)
+    w = np.zeros((out_size, in_size), np.float32)
+    w[np.arange(out_size), idx] = 1.0
+    return w
+
+
+def resize_matrix(out_size: int, in_size: int, mode: str = "bilinear",
+                  align_corners: bool = False,
+                  scale: Optional[float] = None) -> np.ndarray:
+    """The (out_size, in_size) 1-D interpolation matrix for one axis."""
+    if out_size == in_size and scale is None:
+        return np.eye(out_size, dtype=np.float32)
+    if mode == "bilinear" or mode == "linear":
+        return _linear_weights(out_size, in_size, align_corners, scale)
+    if mode == "bicubic" or mode == "cubic":
+        return _cubic_weights(out_size, in_size, align_corners, scale)
+    if mode == "nearest":
+        return _nearest_weights(out_size, in_size)
+    raise ValueError(f"unsupported resize mode: {mode}")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5, 6),
+                   static_argnames=("size", "mode", "align_corners",
+                                    "scale", "h_axis", "w_axis"))
+def interpolate(x: Array, size: Tuple[int, int], mode: str = "bilinear",
+                align_corners: bool = False,
+                scale: Optional[Tuple[float, float]] = None,
+                h_axis: int = -3, w_axis: int = -2) -> Array:
+    """`torch.nn.functional.interpolate` for NHWC arrays, TPU-native.
+
+    Args:
+      x: array whose `h_axis`/`w_axis` dims are spatial (default NHWC).
+      size: (out_h, out_w).
+      mode: 'bilinear' | 'bicubic' | 'nearest'.
+      align_corners: PyTorch align_corners flag (ignored for nearest).
+      scale: optional explicit (scale_h, scale_w); reproduces PyTorch's
+        `scale_factor=...` coordinate mapping (used by DINOv2 pos-embed
+        interpolation, reference vision_transformer.py:199-205).
+
+    The resize is two einsum contractions with constant-foldable weight
+    matrices — MXU work, no gathers.
+    """
+    h_axis = h_axis % x.ndim
+    w_axis = w_axis % x.ndim
+    in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    out_h, out_w = size
+    dtype = x.dtype
+    wh = resize_matrix(out_h, in_h, mode, align_corners,
+                       None if scale is None else scale[0])
+    ww = resize_matrix(out_w, in_w, mode, align_corners,
+                       None if scale is None else scale[1])
+    # HIGHEST precision: these contractions define PyTorch-parity resize
+    # semantics, so they must be true f32 even on the MXU (where the default
+    # is bf16 passes).
+    hi = jax.lax.Precision.HIGHEST
+    xf = x.astype(jnp.float32)
+    xf = jnp.tensordot(jnp.asarray(wh), xf, axes=((1,), (h_axis,)),
+                       precision=hi)
+    # tensordot moved the H axis to front; move back
+    xf = jnp.moveaxis(xf, 0, h_axis)
+    xf = jnp.tensordot(jnp.asarray(ww), xf, axes=((1,), (w_axis,)),
+                       precision=hi)
+    xf = jnp.moveaxis(xf, 0, w_axis)
+    return xf.astype(dtype)
+
+
+def resize_like_torch(x: Array, size: Tuple[int, int], mode: str = "bilinear",
+                      align_corners: bool = False) -> Array:
+    """Alias with explicit name for call sites mirroring F.interpolate."""
+    return interpolate(x, size=size, mode=mode, align_corners=align_corners)
+
+
+def minimal_multiple_resize_size(height: int, width: int, target_h: int,
+                                 target_w: int, multiple_of: int,
+                                 keep_aspect_ratio: bool = False,
+                                 resize_method: str = "minimal",
+                                 ) -> Tuple[int, int]:
+    """Output size of the reference `Resize` transform.
+
+    Mirrors reference `external/zoedepth/models/base_models/depth_anything.py
+    :102-171` (and the identical midas.py variant with multiple_of=32):
+    scale to the target, optionally preserving aspect ratio per
+    `resize_method`, then round each side to the nearest multiple.
+    """
+    scale_h = target_h / height
+    scale_w = target_w / width
+    if keep_aspect_ratio:
+        if resize_method == "lower_bound":
+            scale_h = scale_w = max(scale_h, scale_w)
+        elif resize_method == "upper_bound":
+            scale_h = scale_w = min(scale_h, scale_w)
+        elif resize_method == "minimal":
+            if abs(1 - scale_w) < abs(1 - scale_h):
+                scale_h = scale_w
+            else:
+                scale_w = scale_h
+        else:
+            raise ValueError(resize_method)
+
+    def constrain(v, min_val=0, max_val=None):
+        y = int(np.round(v / multiple_of) * multiple_of)
+        if max_val is not None and y > max_val:
+            y = int(np.floor(v / multiple_of) * multiple_of)
+        if y < min_val:
+            y = int(np.ceil(v / multiple_of) * multiple_of)
+        return y
+
+    if resize_method == "lower_bound":
+        new_h = constrain(scale_h * height, min_val=target_h)
+        new_w = constrain(scale_w * width, min_val=target_w)
+    elif resize_method == "upper_bound":
+        new_h = constrain(scale_h * height, max_val=target_h)
+        new_w = constrain(scale_w * width, max_val=target_w)
+    elif resize_method == "minimal":
+        new_h = constrain(scale_h * height)
+        new_w = constrain(scale_w * width)
+    else:
+        raise ValueError(resize_method)
+    return new_h, new_w
+
+
+class NetResizer:
+    """The reference's `Resize` transform (bilinear, align_corners=True) with
+    multiple-of rounding; ResizeDA = multiple_of 14, ResizeZoe = 32.
+
+    Reference: depth_anything/transform.py:6-129, zoedepth midas.py Resize.
+    """
+
+    def __init__(self, width: int, height: int, keep_aspect_ratio: bool = False,
+                 ensure_multiple_of: int = 1, resize_method: str = "minimal"):
+        self.width = width
+        self.height = height
+        self.keep_aspect_ratio = keep_aspect_ratio
+        self.multiple_of = ensure_multiple_of
+        self.resize_method = resize_method
+
+    def get_size(self, height: int, width: int) -> Tuple[int, int]:
+        return minimal_multiple_resize_size(
+            height, width, self.height, self.width, self.multiple_of,
+            self.keep_aspect_ratio, self.resize_method)
+
+    def __call__(self, x: Array) -> Array:
+        """x: NHWC."""
+        out_h, out_w = self.get_size(x.shape[-3], x.shape[-2])
+        return interpolate(x, (out_h, out_w), mode="bilinear",
+                           align_corners=True)

@@ -1,0 +1,157 @@
+"""ROI-align as separable per-box interpolation matmuls (MXU-friendly).
+
+Replaces the reference's `torchvision.ops.roi_align(..., aligned=True)`
+(7 call sites on the hot path: reference estimator/models/patchfusion.py:
+232,235,247,251 and estimator/models/blocks/guided_fusion_model.py:202).
+
+Because every PatchFusion ROI is an axis-aligned box, bilinear ROI sampling
+separates into one 1-D interpolation along H and one along W. We build the
+per-box (out, in) weight matrices on the VPU and contract with einsum on the
+MXU. Two modes:
+
+  * `roi_align_single`: N boxes sampled from ONE feature map (the tiled
+    inference path). The reference materialises the whole-image features
+    repeated N times (patchfusion.py:246,250 — memory-hungry); here the
+    feature map is read once.
+  * `roi_align_batched`: box i samples feature map i (the training path,
+    boxes carry batch indices aligned with the batch).
+
+Semantics match torchvision `aligned=True`, `sampling_ratio=-1` (adaptive):
+  roi_start = coord * spatial_scale - 0.5
+  grid      = ceil(roi_size / out_size) samples per bin   (static given the
+              tile geometry: all PatchFusion boxes share one size)
+  sample s  : y = roi_start + (s + 0.5) * roi_size / (out * grid)
+  bilinear with zero outside [-1, size] and index clamping, then bin-average.
+
+The adaptive grid count depends only on the ROI *size*; PatchFusion boxes all
+have identical size per call (patch_raw_shape scaled), so `grid` is a
+compile-time constant. For safety we take the max over boxes at trace time
+when sizes are static, else callers pass `sampling_ratio` explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _axis_weights(start: Array, size: Array, out: int, grid: int,
+                  in_size: int) -> Array:
+    """Per-box 1-D ROI interpolation matrix, already bin-averaged.
+
+    Args:
+      start: (N,) roi start coordinate (already *scale - 0.5, aligned=True).
+      size:  (N,) roi extent in feature coords.
+      out:   output bins (static).
+      grid:  samples per bin (static).
+      in_size: input extent (static).
+    Returns:
+      (N, out, in_size) weights. Row o of box n sums to 1 unless all of the
+      bin's samples fall outside [-1, in_size] (torchvision zeros those).
+    """
+    n = start.shape[0]
+    s = jnp.arange(out * grid, dtype=jnp.float32)  # sample index
+    # (N, out*grid) sample coordinates
+    coord = start[:, None] + (s[None, :] + 0.5) * (size[:, None] /
+                                                   (out * grid))
+    # torchvision: samples with coord < -1 or > in_size contribute zero;
+    # otherwise coord is clamped to [0, in_size-1] (its low/high index clamp
+    # is equivalent to coordinate clamping for linear weights).
+    valid = (coord >= -1.0) & (coord <= in_size)
+    cc = jnp.clip(coord, 0.0, in_size - 1)
+    idx = jnp.arange(in_size, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(cc[..., None] - idx[None, None, :]))
+    w = jnp.where(valid[..., None], w, 0.0)
+    # average the `grid` samples of each bin
+    w = w.reshape(n, out, grid, in_size).mean(axis=2)
+    return w
+
+
+def _grid_count(roi_extent: float, out: int) -> int:
+    return max(1, int(np.ceil(roi_extent / out)))
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w",
+                                             "spatial_scale",
+                                             "sampling_ratio"))
+def roi_align_single(feat: Array, boxes: Array, out_h: int, out_w: int,
+                     spatial_scale: float,
+                     sampling_ratio: Optional[int] = None) -> Array:
+    """ROI-align N boxes from one NHWC feature map (batch dim absent or 1).
+
+    Args:
+      feat: (H, W, C) or (1, H, W, C).
+      boxes: (N, 4) [x1, y1, x2, y2] in pre-scale coordinates (the reference
+        feeds process-space bboxs_feat; spatial_scale maps them to this
+        level's feature grid).
+      out_h/out_w: output spatial size (static).
+      spatial_scale: torchvision spatial_scale.
+      sampling_ratio: samples per bin; None = adaptive (requires concrete
+        box sizes at trace time or identical-size boxes; PatchFusion always
+        uses identical-size boxes so callers pass the static value).
+    Returns:
+      (N, out_h, out_w, C)
+    """
+    if feat.ndim == 4:
+        feat = feat[0]
+    h, w, _ = feat.shape
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    x2 = boxes[:, 2] * spatial_scale - 0.5
+    y2 = boxes[:, 3] * spatial_scale - 0.5
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if sampling_ratio is None:
+        raise ValueError("pass a static sampling_ratio (PatchFusion boxes "
+                         "share one size; grid = ceil(roi/out))")
+    gh = gw = int(sampling_ratio)
+    wy = _axis_weights(y1, roi_h, out_h, gh, h)  # (N, out_h, H)
+    wx = _axis_weights(x1, roi_w, out_w, gw, w)  # (N, out_w, W)
+    f32 = feat.astype(jnp.float32)
+    out = jnp.einsum("nph,hwc,nqw->npqc", wy, f32, wx,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(feat.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w",
+                                             "spatial_scale",
+                                             "sampling_ratio"))
+def roi_align_batched(feat: Array, boxes: Array, out_h: int, out_w: int,
+                      spatial_scale: float,
+                      sampling_ratio: Optional[int] = None) -> Array:
+    """ROI-align where box i samples feature map i (training path).
+
+    Args:
+      feat: (N, H, W, C).
+      boxes: (N, 4) [x1, y1, x2, y2] (batch index column already dropped —
+        the reference's bboxs_feat[:, 0] is arange(N) in training,
+        patchfusion.py:379-380).
+    Returns: (N, out_h, out_w, C)
+    """
+    h, w = feat.shape[1], feat.shape[2]
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    roi_w = (boxes[:, 2] - boxes[:, 0]) * spatial_scale
+    roi_h = (boxes[:, 3] - boxes[:, 1]) * spatial_scale
+    if sampling_ratio is None:
+        raise ValueError("pass a static sampling_ratio")
+    g = int(sampling_ratio)
+    wy = _axis_weights(y1, roi_h, out_h, g, h)
+    wx = _axis_weights(x1, roi_w, out_w, g, w)
+    f32 = feat.astype(jnp.float32)
+    out = jnp.einsum("nph,nhwc,nqw->npqc", wy, f32, wx,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(feat.dtype)
+
+
+def adaptive_sampling_ratio(patch_extent_feat: float, out_size: int) -> int:
+    """torchvision's adaptive grid count for a known static ROI extent."""
+    return _grid_count(patch_extent_feat, out_size)
