@@ -7,11 +7,8 @@ and tools/convert_huggingface.py) onto patchfusion_tpu's NHWC flax modules.
 Layout rules:
   Linear  : torch (out, in)            -> flax kernel (in, out)
   Conv2d  : torch (out, in, kh, kw)    -> flax NHWC kernel (kh, kw, in, out)
-  ConvT2d : torch (in, out, kh, kw)    -> flax NHWC kernel (kh, kw, in, out)
-            (flax ConvTranspose with transpose_kernel=False convolves with
-             the kernel directly; torch's ConvT scatters — equivalent to a
-             flax kernel that is the torch kernel flipped spatially... we use
-             transpose_kernel=True modules so the mapping below is exact.)
+  ConvT2d : torch (in, out, kh, kw)    -> flax kernel (kh, kw, out, in)
+            with transpose_kernel=True on the flax module (bit-exact).
   LayerNorm / BatchNorm: weight->scale, bias->bias; BN running stats go to
             batch_stats collection.
 
@@ -47,9 +44,9 @@ def conv(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 def conv_transpose(sd: Mapping[str, Any], prefix: str
                    ) -> Dict[str, np.ndarray]:
-    # torch ConvT weight: (in, out, kh, kw) -> flax (kh, kw, in, out) with
-    # transpose_kernel=True on the flax module.
-    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 0, 1)}
+    # torch ConvT weight: (in, out, kh, kw) -> flax (kh, kw, out, in) with
+    # transpose_kernel=True on the flax module (verified exact vs torch).
+    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
     if prefix + ".bias" in sd:
         out["bias"] = _np(sd[prefix + ".bias"])
     return out
@@ -70,6 +67,47 @@ def batchnorm_stats(sd: Mapping[str, Any], prefix: str
                     ) -> Dict[str, np.ndarray]:
     return {"mean": _np(sd[prefix + ".running_mean"]),
             "var": _np(sd[prefix + ".running_var"])}
+
+
+# ---------------------------------------------------------------------------
+# DPT (Depth-Anything decoder)
+# ---------------------------------------------------------------------------
+
+def _ffb(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    def rcu(p):
+        return {"conv1": conv(sd, p + ".conv1"),
+                "conv2": conv(sd, p + ".conv2")}
+    return {"rcu1": rcu(prefix + ".resConfUnit1"),
+            "rcu2": rcu(prefix + ".resConfUnit2"),
+            "out_conv": conv(sd, prefix + ".out_conv")}
+
+
+def dpt_head_params(sd: Mapping[str, Any], prefix: str = "depth_head."
+                    ) -> Dict[str, Any]:
+    """Reference DPTHead (depth_anything/dpt.py:20-130) -> flax DPTHead."""
+    p = prefix
+    params: Dict[str, Any] = {}
+    for i in range(4):
+        params[f"project_{i}"] = conv(sd, f"{p}projects.{i}")
+    params["resize_0"] = conv_transpose(sd, p + "resize_layers.0")
+    params["resize_1"] = conv_transpose(sd, p + "resize_layers.1")
+    params["resize_3"] = conv(sd, p + "resize_layers.3")
+    for i in range(4):
+        params[f"layer{i + 1}_rn"] = conv(sd, f"{p}scratch.layer{i + 1}_rn")
+        params[f"refinenet{i + 1}"] = _ffb(sd, f"{p}scratch.refinenet{i + 1}")
+    params["output_conv1"] = conv(sd, p + "scratch.output_conv1")
+    params["output_conv2_0"] = conv(sd, p + "scratch.output_conv2.0")
+    params["output_conv2_2"] = conv(sd, p + "scratch.output_conv2.2")
+    return params
+
+
+def dpt_dinov2_params(sd: Mapping[str, Any], depth: int,
+                      prefix: str = "") -> Dict[str, Any]:
+    """Reference DPT_DINOv2 -> flax DPTDinov2 params."""
+    return {
+        "pretrained": dinovit_params(sd, depth, prefix + "pretrained."),
+        "depth_head": dpt_head_params(sd, prefix + "depth_head."),
+    }
 
 
 # ---------------------------------------------------------------------------

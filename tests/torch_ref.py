@@ -90,17 +90,27 @@ def build_dinov2(core_type="vits", seed=0):
 
 
 def build_dpt_dinov2(core_type="vits", seed=0):
-    """Reference DPT_DINOv2 (Depth-Anything decoder on DINOv2)."""
+    """Reference DPT_DINOv2 (Depth-Anything decoder on DINOv2).
+
+    The reference loads DINOv2 via a CWD-relative torch.hub path
+    (dpt.py:140), so we chdir into the reference tree for construction.
+    """
     install_stubs()
     add_ref_paths()
+    import os
     import torch
     torch.manual_seed(seed)
     from depth_anything.dpt import DPT_DINOv2
     feats = {"vits": 64, "vitb": 128, "vitl": 256}[core_type]
     oc = {"vits": [48, 96, 192, 384], "vitb": [96, 192, 384, 768],
           "vitl": [256, 512, 1024, 1024]}[core_type]
-    model = DPT_DINOv2(encoder=core_type, features=feats, out_channels=oc,
-                       use_clstoken=False)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        model = DPT_DINOv2(encoder=core_type, features=feats,
+                           out_channels=oc, use_clstoken=False)
+    finally:
+        os.chdir(cwd)
     model.eval()
     return model
 
