@@ -111,6 +111,48 @@ def dpt_dinov2_params(sd: Mapping[str, Any], depth: int,
 
 
 # ---------------------------------------------------------------------------
+# ZoeDepth metric-bins head
+# ---------------------------------------------------------------------------
+
+def _net2(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """The reference `_net` Sequential: indices 0 and 2 are convs."""
+    return {"net_0": conv(sd, prefix + "._net.0"),
+            "net_2": conv(sd, prefix + "._net.2")}
+
+
+def metric_bins_head_params(sd: Mapping[str, Any], prefix: str = ""
+                            ) -> Dict[str, Any]:
+    """seed bins / projectors / attractors / conditional log-binomial
+    (reference zoedepth_v1.py:106-123 or patchfusion.py:152-170 layout)."""
+    p = prefix
+    params: Dict[str, Any] = {
+        "seed_bin_regressor": _net2(sd, p + "seed_bin_regressor"),
+        "seed_projector": _net2(sd, p + "seed_projector"),
+        "conditional_log_binomial": {
+            "mlp_0": conv(sd, p + "conditional_log_binomial.mlp.0"),
+            "mlp_2": conv(sd, p + "conditional_log_binomial.mlp.2")},
+    }
+    for i in range(4):
+        params[f"projector_{i}"] = _net2(sd, f"{p}projectors.{i}")
+        params[f"attractor_{i}"] = _net2(sd, f"{p}attractors.{i}")
+    return params
+
+
+def zoedepth_params(sd: Mapping[str, Any], depth: int, prefix: str = ""
+                    ) -> Dict[str, Any]:
+    """Reference ZoeDepth (DA core) state_dict -> flax ZoeDepthDA params.
+
+    Torch layout: core.core.{pretrained,depth_head}.*, conv2.*, and the head
+    layers at top level."""
+    p = prefix
+    return {
+        "core": dpt_dinov2_params(sd, depth, p + "core.core."),
+        "conv2": conv(sd, p + "conv2"),
+        "head": metric_bins_head_params(sd, p),
+    }
+
+
+# ---------------------------------------------------------------------------
 # DINOv2 ViT
 # ---------------------------------------------------------------------------
 

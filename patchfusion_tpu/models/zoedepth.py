@@ -1,0 +1,376 @@
+"""ZoeDepth metric-bins head + full DA-ZoeDepth model, TPU-native flax.
+
+Re-design of reference external/zoedepth/models/zoedepth/zoedepth_v1.py
+(forward at :125-233) with its layer zoo (localbins_layers.py, attractor.py,
+dist_layers.py). The `MetricBinsHead` is shared between ZoeDepth and
+PatchFusion's own decoder head (reference patchfusion.py:131-170, 297-340).
+
+The reference harvests six intermediate activations via `temp_features`
+(zoedepth_v1.py:173-197); here they are explicit entries in the returned
+dict:  x_d0 (1/28 of process res), x_blocks_feat_0..3 (1/14..1/~1.75),
+midas_final_feat (full process res, 32 ch).
+
+Everything NHWC; channel ops are 1x1 convs = MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patchfusion_tpu.models.dpt import DPTDinov2
+from patchfusion_tpu.ops.resize import interpolate
+
+Array = jax.Array
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+# DepthAnythingCore.output_channels (reference depth_anything.py:331-337):
+# [btlnck, 4 x block feats]; all equal per core type.
+DA_OUTPUT_CHANNELS = {"vits": 64, "vitb": 128, "vitl": 256}
+N_MIDAS_OUT = 32
+
+
+def _mlp2(x: Array, hidden: int, out: int, name: str, dtype,
+          final_act: Optional[str] = None) -> Array:
+    """conv1x1 -> relu -> conv1x1 [-> act] (the reference's ubiquitous
+    `_net` Sequential in localbins_layers.py / attractor.py)."""
+    h = nn.Conv(hidden, (1, 1), dtype=dtype, name=f"{name}_0")(x)
+    h = nn.relu(h)
+    h = nn.Conv(out, (1, 1), dtype=dtype, name=f"{name}_2")(h)
+    if final_act == "relu":
+        h = nn.relu(h)
+    elif final_act == "softplus":
+        h = jax.nn.softplus(h)
+    return h
+
+
+class SeedBinRegressorUnnormed(nn.Module):
+    """localbins_layers.py:71-96: softplus bin centers (unbounded)."""
+    n_bins: int
+    mlp_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        c = _mlp2(x, self.mlp_dim, self.n_bins, "net", self.dtype,
+                  final_act="softplus")
+        return c, c
+
+
+class SeedBinRegressor(nn.Module):
+    """localbins_layers.py:29-68: normalized widths -> cumsum bin centers
+    bounded in (min_depth, max_depth)."""
+    n_bins: int
+    min_depth: float
+    max_depth: float
+    mlp_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        b = _mlp2(x, self.mlp_dim, self.n_bins, "net", self.dtype,
+                  final_act="relu") + 1e-3
+        widths_normed = b / jnp.sum(b, axis=-1, keepdims=True)
+        widths = (self.max_depth - self.min_depth) * widths_normed
+        widths = jnp.pad(widths, [(0, 0)] * (x.ndim - 1) + [(1, 0)],
+                         constant_values=self.min_depth)
+        edges = jnp.cumsum(widths, axis=-1)
+        centers = 0.5 * (edges[..., :-1] + edges[..., 1:])
+        return widths_normed, centers
+
+
+class Projector(nn.Module):
+    """localbins_layers.py:99-117."""
+    out_features: int
+    mlp_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return _mlp2(x, self.mlp_dim, self.out_features, "net", self.dtype)
+
+
+def _attractor_dist(dx: Array, alpha: float, gamma: int,
+                    attractor_type: str) -> Array:
+    """attractor.py:29-57 (@torch.jit.script fns): exp / inv attractors.
+
+    REFERENCE QUIRK (preserved for checkpoint fidelity): the reference calls
+    `dist(dx)` with NO alpha/gamma arguments (attractor.py:120-121, 194-195),
+    so the configured attractor_alpha (1000 in every shipped config) is
+    silently ignored and the TorchScript defaults alpha=300, gamma=2 always
+    apply. The shipped checkpoints were trained that way; we therefore pin
+    alpha=300, gamma=2 here regardless of the config, matching the binary
+    behavior bit-for-bit (verified against the reference).
+    """
+    del alpha, gamma  # see docstring — reference never threads these through
+    if attractor_type == "exp":
+        return jnp.exp(-300.0 * jnp.abs(dx) ** 2) * dx
+    return dx / (1 + 300.0 * dx ** 2)
+
+
+class AttractorLayerUnnormed(nn.Module):
+    """attractor.py:139-208: unbounded bin-center refinement."""
+    n_bins: int
+    n_attractors: int
+    alpha: float
+    gamma: int
+    kind: str
+    attractor_type: str
+    mlp_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, b_prev: Array,
+                 prev_b_embedding: Optional[Array] = None
+                 ) -> Tuple[Array, Array]:
+        if prev_b_embedding is not None:
+            pe = interpolate(prev_b_embedding, x.shape[1:3], mode="bilinear",
+                             align_corners=True)
+            x = x + pe
+        a = _mlp2(x, self.mlp_dim, self.n_attractors, "net", self.dtype,
+                  final_act="softplus")
+        b_centers = interpolate(b_prev, x.shape[1:3], mode="bilinear",
+                                align_corners=True)
+        dx = a[..., :, None] - b_centers[..., None, :]  # (B,H,W,att,bins)
+        delta = _attractor_dist(dx, self.alpha, self.gamma,
+                                self.attractor_type)
+        red = jnp.mean if self.kind == "mean" else jnp.sum
+        b_new = b_centers + red(delta, axis=-2)
+        return b_new, b_new
+
+
+class AttractorLayer(nn.Module):
+    """attractor.py:60-136: normed variant, centers bounded to
+    (min_depth, max_depth) and sorted."""
+    n_bins: int
+    n_attractors: int
+    alpha: float
+    gamma: int
+    kind: str
+    attractor_type: str
+    min_depth: float
+    max_depth: float
+    mlp_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, b_prev: Array,
+                 prev_b_embedding: Optional[Array] = None
+                 ) -> Tuple[Array, Array]:
+        if prev_b_embedding is not None:
+            pe = interpolate(prev_b_embedding, x.shape[1:3], mode="bilinear",
+                             align_corners=True)
+            x = x + pe
+        a = _mlp2(x, self.mlp_dim, self.n_attractors * 2, "net", self.dtype,
+                  final_act="relu") + 1e-3
+        sh = a.shape[:-1]
+        a = a.reshape(*sh, self.n_attractors, 2)
+        # NOTE: the reference normalizes then discards the normalization
+        # (attractor.py:105-106 overwrites A_normed with the unnormed
+        # channel 0) — preserved for checkpoint fidelity.
+        a_normed = a[..., 0]
+        b_centers = interpolate(b_prev, x.shape[1:3], mode="bilinear",
+                                align_corners=True)
+        dx = a_normed[..., :, None] - b_centers[..., None, :]
+        delta = _attractor_dist(dx, self.alpha, self.gamma,
+                                self.attractor_type)
+        red = jnp.mean if self.kind == "mean" else jnp.sum
+        b_new = b_centers + red(delta, axis=-2)
+        centers = (self.max_depth - self.min_depth) * b_new + self.min_depth
+        centers = jnp.sort(centers, axis=-1)
+        centers = jnp.clip(centers, self.min_depth, self.max_depth)
+        return b_new, centers
+
+
+class ConditionalLogBinomial(nn.Module):
+    """dist_layers.py:36-121: MLP -> (p, t) -> log-binomial over n_classes."""
+    in_features: int
+    condition_dim: int
+    n_classes: int
+    min_temp: float
+    max_temp: float
+    bottleneck_factor: int = 2
+    p_eps: float = 1e-4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, cond: Array) -> Array:
+        h = jnp.concatenate([x, cond], axis=-1)
+        bottleneck = (self.in_features + self.condition_dim) \
+            // self.bottleneck_factor
+        h = nn.Conv(bottleneck, (1, 1), dtype=self.dtype, name="mlp_0")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Conv(4, (1, 1), dtype=self.dtype, name="mlp_2")(h)
+        pt = jax.nn.softplus(h)
+        p = pt[..., :2] + self.p_eps
+        p = p[..., 0] / (p[..., 0] + p[..., 1])
+        t = pt[..., 2:] + self.p_eps
+        t = t[..., 0] / (t[..., 0] + t[..., 1])
+        t = (self.max_temp - self.min_temp) * t + self.min_temp
+
+        # log binomial over K classes with Stirling log-nCk
+        k = jnp.arange(self.n_classes, dtype=jnp.float32)
+        km1 = float(self.n_classes - 1)
+        eps = 1e-4
+        p = jnp.clip(p, eps, 1.0)[..., None]
+        one_minus_p = jnp.clip(1.0 - p, eps, 1.0)
+
+        def log_binom(n, kk, e=1e-7):
+            n = n + e
+            kk = kk + e
+            return (n * jnp.log(n) - kk * jnp.log(kk)
+                    - (n - kk) * jnp.log(n - kk + e))
+
+        y = (log_binom(km1, k) + k * jnp.log(p)
+             + (km1 - k) * jnp.log(one_minus_p))
+        return jax.nn.softmax(y / t[..., None], axis=-1)
+
+
+class MetricBinsHead(nn.Module):
+    """The shared ZoeDepth decoder head: seed bins -> 4 x (projector +
+    attractor) -> conditional log-binomial -> depth = sum p*c.
+
+    Used by ZoeDepth (zoedepth_v1.py:106-123,173-233) and by PatchFusion's
+    own head (patchfusion.py:131-170, fusion_forward :297-340 where rel_cond
+    is zeros).
+    """
+    n_bins: int
+    bin_embedding_dim: int
+    min_depth: float
+    max_depth: float
+    n_attractors: Sequence[int]
+    attractor_alpha: float
+    attractor_gamma: int
+    attractor_kind: str
+    attractor_type: str
+    bin_centers_type: str
+    min_temp: float
+    max_temp: float
+    last_in: int = N_MIDAS_OUT + 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, x_blocks: Sequence[Array], last: Array,
+                 rel_cond: Array) -> Dict[str, Array]:
+        """x: bottleneck feature; x_blocks: 4 decoder features (low->high
+        res); last: final 32-ch feature; rel_cond: (B,H,W,1) relative-depth
+        condition channel (zeros in PatchFusion)."""
+        normed_seed = self.bin_centers_type in ("normed", "hybrid1")
+        normed_attr = self.bin_centers_type in ("normed", "hybrid2")
+
+        if normed_seed:
+            seed = SeedBinRegressor(self.n_bins, self.min_depth,
+                                    self.max_depth, dtype=self.dtype,
+                                    name="seed_bin_regressor")
+        else:
+            seed = SeedBinRegressorUnnormed(self.n_bins, dtype=self.dtype,
+                                            name="seed_bin_regressor")
+        _, seed_b_centers = seed(x)
+        if self.bin_centers_type in ("normed", "hybrid2"):
+            b_prev = (seed_b_centers - self.min_depth) / \
+                (self.max_depth - self.min_depth)
+        else:
+            b_prev = seed_b_centers
+        prev_b_embedding = Projector(self.bin_embedding_dim,
+                                     dtype=self.dtype,
+                                     name="seed_projector")(x)
+
+        b_centers = b_prev
+        b_embedding = prev_b_embedding
+        for i, xb in enumerate(x_blocks[:4]):
+            b_embedding = Projector(self.bin_embedding_dim, dtype=self.dtype,
+                                    name=f"projector_{i}")(xb)
+            if normed_attr:
+                attr = AttractorLayer(
+                    self.n_bins, self.n_attractors[i], self.attractor_alpha,
+                    self.attractor_gamma, self.attractor_kind,
+                    self.attractor_type, self.min_depth, self.max_depth,
+                    dtype=self.dtype, name=f"attractor_{i}")
+            else:
+                attr = AttractorLayerUnnormed(
+                    self.n_bins, self.n_attractors[i], self.attractor_alpha,
+                    self.attractor_gamma, self.attractor_kind,
+                    self.attractor_type, dtype=self.dtype,
+                    name=f"attractor_{i}")
+            b_prev, b_centers = attr(b_embedding, b_prev, prev_b_embedding)
+            prev_b_embedding = b_embedding
+
+        rel_cond = interpolate(rel_cond, last.shape[1:3], mode="bilinear",
+                               align_corners=True)
+        last_cat = jnp.concatenate([last, rel_cond.astype(last.dtype)],
+                                   axis=-1)
+        b_embedding = interpolate(b_embedding, last.shape[1:3],
+                                  mode="bilinear", align_corners=True)
+        probs = ConditionalLogBinomial(
+            self.last_in, self.bin_embedding_dim, self.n_bins,
+            self.min_temp, self.max_temp, dtype=self.dtype,
+            name="conditional_log_binomial")(last_cat, b_embedding)
+        b_centers = interpolate(b_centers, probs.shape[1:3], mode="bilinear",
+                                align_corners=True)
+        depth = jnp.sum(probs * b_centers, axis=-1, keepdims=True)
+        return {"metric_depth": depth, "bin_centers": b_centers,
+                "b_embedding": b_embedding, "probs": probs}
+
+
+class ZoeDepthDA(nn.Module):
+    """Full DA-ZoeDepth: DepthAnything (DINOv2+DPT) core + metric-bins head.
+
+    Input: raw (B, H, W, 3) in [0, 1]; ImageNet normalization happens here
+    (reference PrepForMidas, depth_anything.py:177-190, do_resize=False in
+    all shipped PatchFusion configs).
+
+    Returns dict(metric_depth (B,H,W,1), rel_depth (B,H,W), temp_features
+    {x_d0, x_blocks_feat_0..3, midas_final_feat}, bin_centers).
+    """
+    core_type: str = "vitl"
+    n_bins: int = 64
+    bin_centers_type: str = "softplus"
+    bin_embedding_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    n_attractors: Sequence[int] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0
+    attractor_gamma: int = 2
+    attractor_kind: str = "mean"
+    attractor_type: str = "inv"
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, normalize: bool = True) -> Dict[str, Any]:
+        if normalize:
+            mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+            std = jnp.asarray(IMAGENET_STD, x.dtype)
+            x = (x - mean) / std
+        rel_depth, feats = DPTDinov2(self.core_type, dtype=self.dtype,
+                                     name="core")(x)
+
+        btlnck = feats["l4_rn"]
+        x_blocks = [feats["r4"], feats["r3"], feats["r2"], feats["r1"]]
+        last = feats["out_conv"]
+
+        c = DA_OUTPUT_CHANNELS[self.core_type]
+        x_d0 = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv2")(btlnck)
+
+        temp_features = {"x_d0": x_d0, "midas_final_feat": last}
+        for i, xb in enumerate(x_blocks):
+            temp_features[f"x_blocks_feat_{i}"] = xb
+
+        rel_cond = rel_depth[..., None]
+        head = MetricBinsHead(
+            self.n_bins, self.bin_embedding_dim, self.min_depth,
+            self.max_depth, self.n_attractors, self.attractor_alpha,
+            self.attractor_gamma, self.attractor_kind, self.attractor_type,
+            self.bin_centers_type, self.min_temp, self.max_temp,
+            dtype=self.dtype, name="head")
+        out = head(x_d0, x_blocks, last, rel_cond)
+        out["rel_depth"] = rel_depth
+        out["temp_features"] = temp_features
+        return out

@@ -67,6 +67,34 @@ def install_stubs():
     timm.models = sys.modules["timm.models"]
     sys.modules["timm.models"].layers = tml
 
+    # torchvision.transforms.Normalize (used by PrepForMidas / depth_model)
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(1, -1, 1, 1)
+            self.std = torch.tensor(std).view(1, -1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean.to(x)) / self.std.to(x)
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, x):
+            import numpy as _np
+            return torch.from_numpy(_np.array(x)).permute(2, 0, 1) / 255.0
+
+    tv = _stub("torchvision")
+    tvt = _stub("torchvision.transforms", Normalize=Normalize,
+                Compose=Compose, ToTensor=ToTensor)
+    tv.transforms = tvt
+
 
 def add_ref_paths():
     for p in [REF, REF + "/external",
@@ -131,11 +159,17 @@ def build_zoedepth(core_type="vits", seed=0):
     zoe_depth_config, with midas_model_type swapped)."""
     install_stubs()
     add_ref_paths()
+    import os
     import torch
     torch.manual_seed(seed)
     from zoedepth.models.zoedepth.zoedepth_v1 import ZoeDepth
     kw = dict(ZOE_TEST_KW)
     kw["midas_model_type"] = core_type
-    model = ZoeDepth.build(**kw)
+    cwd = os.getcwd()
+    os.chdir(REF)  # DPT_DINOv2 loads dinov2 via a CWD-relative hub path
+    try:
+        model = ZoeDepth.build(**kw)
+    finally:
+        os.chdir(cwd)
     model.eval()
     return model
