@@ -17,7 +17,7 @@ All converters work on numpy arrays so they run without a GPU/TPU.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
@@ -108,6 +108,81 @@ def dpt_dinov2_params(sd: Mapping[str, Any], depth: int,
         "pretrained": dinovit_params(sd, depth, prefix + "pretrained."),
         "depth_head": dpt_head_params(sd, prefix + "depth_head."),
     }
+
+
+# ---------------------------------------------------------------------------
+# Guided fusion (U-Net + G2L swin)
+# ---------------------------------------------------------------------------
+
+def _double_conv_bn(sd, prefix):
+    """reference DoubleConv (guided_fusion_model.py:52-69): Sequential
+    [conv, bn, relu, conv, bn, relu]."""
+    params = {"conv1": conv(sd, prefix + ".0"),
+              "bn1": batchnorm_params(sd, prefix + ".1"),
+              "conv2": conv(sd, prefix + ".3"),
+              "bn2": batchnorm_params(sd, prefix + ".4")}
+    stats = {"bn1": batchnorm_stats(sd, prefix + ".1"),
+             "bn2": batchnorm_stats(sd, prefix + ".4")}
+    return params, stats
+
+
+def _double_conv_wobn(sd, prefix):
+    """reference DoubleConvWOBN (gf:34-50): Sequential [conv, relu, conv,
+    relu]."""
+    return {"conv1": conv(sd, prefix + ".0"),
+            "conv2": conv(sd, prefix + ".2")}
+
+
+def _swin_block(sd, prefix):
+    return {
+        "norm1": layernorm(sd, prefix + ".norm1"),
+        "attn": {
+            "qkv": linear(sd, prefix + ".attn.qkv"),
+            "proj": linear(sd, prefix + ".attn.proj"),
+            "relative_position_bias_table":
+                _np(sd[prefix + ".attn.relative_position_bias_table"]),
+        },
+        "norm2": layernorm(sd, prefix + ".norm2"),
+        "mlp_fc1": linear(sd, prefix + ".mlp.fc1"),
+        "mlp_fc2": linear(sd, prefix + ".mlp.fc2"),
+    }
+
+
+def g2l_params(sd: Mapping[str, Any], prefix: str, depth: int
+               ) -> Dict[str, Any]:
+    """reference G2LFusion (swin_layers.py:360-431) -> flax G2LFusion.
+    (embed_proj exists in torch checkpoints but is dead — area_prior is
+    always None in PatchFusion — so it is intentionally dropped.)"""
+    params = {
+        "absolute_pos_embed": _np(sd[prefix + ".absolute_pos_embed"]),
+        "norm": layernorm(sd, prefix + ".g2l_layer_norm"),
+    }
+    for j in range(depth):
+        params[f"block_{j}"] = _swin_block(sd,
+                                           f"{prefix}.g2l_layer.blocks.{j}")
+    return params
+
+
+def guided_fusion_params(sd: Mapping[str, Any], depths, prefix: str = ""
+                         ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """reference GuidedFusionPatchFusion -> (params, batch_stats)."""
+    p = prefix
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["inc"], stats["inc"] = _double_conv_bn(sd, p + "inc.double_conv")
+    n_levels = len(depths)
+    for i in range(n_levels - 1):
+        params[f"down_{i}"], stats[f"down_{i}"] = _double_conv_bn(
+            sd, f"{p}down_conv_list.{i}.maxpool_conv.1.double_conv")
+        params[f"up_{i}"] = _double_conv_wobn(
+            sd, f"{p}up_conv_list.{i}.conv.double_conv")
+    depths_inv = list(depths)[::-1]
+    for i in range(n_levels):
+        params[f"g2l_{i}"] = g2l_params(sd, f"{p}g2l_list.{i}",
+                                        depths_inv[i])
+        params[f"fuse_{i}"] = _double_conv_wobn(
+            sd, f"{p}convs.{i}.double_conv")
+    return params, stats
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,151 @@
+"""Guided-fusion U-Net, TPU-native flax.
+
+Re-design of reference estimator/models/blocks/guided_fusion_model.py: a
+6-level U-Net over the 5-channel tile input (coarse-depth-roi ⊕ fine-depth ⊕
+RGB crop); every decoder level fuses (a) the `guide_cat` skip (fusion-conv of
+coarse-roi + fine features) and (b) the G2L-attended whole-image coarse
+feature ROI-cropped to the tile (gf:163-206).
+
+TPU-first restructuring (numerically identical): the reference re-runs the
+G2L attention on the whole-image coarse features for EVERY process_num chunk
+(gf:201-202 inside the per-chunk forward). Here the G2L pass + ROI crop are
+hoisted to the PatchFusion level: G2L runs once per image, ROI-align gathers
+per-tile views from the single attended copy (no N× feature replication),
+and this module consumes the pre-cropped `g2l_roi` features.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from patchfusion_tpu.models.swin import G2LFusion
+from patchfusion_tpu.ops.resize import interpolate
+
+Array = jax.Array
+
+
+class DoubleConvBN(nn.Module):
+    """(conv3x3 no-bias → BN → relu) x2 (reference gf:52-69)."""
+    out: int
+    mid: int = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        mid = self.mid or self.out
+        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, axis_name=None,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, axis_name=None,
+                         name="bn2")(x)
+        return nn.relu(x)
+
+
+class DoubleConvWOBN(nn.Module):
+    """(conv3x3 + bias → relu) x2 (reference gf:34-50)."""
+    out: int
+    mid: int = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mid = self.mid or self.out
+        x = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(x)
+        return nn.relu(x)
+
+
+class GuidedFusion(nn.Module):
+    """reference GuidedFusionPatchFusion (gf:102-206) with hoisted G2L/ROI.
+
+    Config mirrors the reference registry entry: `in_channels` are the U-Net
+    encoder channels high→low res ([32, C, C, C, C, C]); depths/num_heads/
+    num_patches describe the per-level G2L stacks in high→low order exactly
+    as in configs/**/..._patchfusion_u4k.py.
+    """
+    n_channels: int = 5
+    in_channels: Sequence[int] = (32, 256, 256, 256, 256, 256)
+    depth: Sequence[int] = (2, 2, 3, 3, 4, 4)
+    num_heads: Sequence[int] = (8, 8, 16, 16, 32, 32)
+    num_patches: Sequence[int] = (392 * 518, 224 * 296, 112 * 148, 56 * 74,
+                                  28 * 37, 14 * 19)
+    g2l: bool = True
+    window: int = 12
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        inv = list(self.in_channels)[::-1]
+        self.inc = DoubleConvBN(self.in_channels[0], dtype=self.dtype)
+        self.downs = [DoubleConvBN(self.in_channels[i + 1], dtype=self.dtype,
+                                   name=f"down_{i}")
+                      for i in range(len(self.in_channels) - 1)]
+        self.ups = [DoubleConvWOBN(
+            inv[i], mid=inv[i] + 2 * inv[i - 1], dtype=self.dtype,
+            name=f"up_{i - 1}") for i in range(1, len(inv))]
+        if self.g2l:
+            heads_inv = list(self.num_heads)[::-1]
+            depth_inv = list(self.depth)[::-1]
+            np_inv = list(self.num_patches)[::-1]
+            self.g2l_list = [G2LFusion(
+                embed_dim=inv[i], window=self.window, num_heads=heads_inv[i],
+                depth=depth_inv[i], num_patches=np_inv[i], dtype=self.dtype,
+                name=f"g2l_{i}") for i in range(len(inv))]
+        self.fuse_convs = [DoubleConvWOBN(inv[i], mid=inv[i],
+                                          dtype=self.dtype,
+                                          name=f"fuse_{i}")
+                           for i in range(len(inv))]
+
+    def attend_coarse(self, coarse_feats: List[Array]) -> List[Array]:
+        """Run the per-level G2L attention over whole-image coarse features
+        (low→high res order). Once per image — NOT per tile chunk."""
+        return [g(f) for g, f in zip(self.g2l_list, coarse_feats)]
+
+    def __call__(self, input_tensor: Array, guide_cat: List[Array],
+                 g2l_roi: List[Array], train: bool = False) -> List[Array]:
+        """Args (all per-tile batched, N tiles):
+          input_tensor: (N, H, W, 5) — coarse_depth_roi ⊕ fine_depth ⊕ RGB.
+          guide_cat: 6 features low→high res (fusion-conv outputs).
+          g2l_roi: 6 ROI-cropped attended coarse features low→high res,
+            each (N, h_lvl, w_lvl, C_lvl) — level sizes define the decoder
+            grid (the reference resizes encoder feats onto them, gf:190-193).
+        Returns 6 decoder outputs low→high res (the reference's
+        output[::-1], consumed by the PatchFusion metric head).
+        """
+        feats = []
+        x = self.inc(input_tensor, train=train)
+        feats.append(x)
+        for down in self.downs:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = down(x, train=train)
+            feats.append(x)
+
+        outputs = []
+        temp = None
+        for idx, (enc, froi) in enumerate(zip(feats[::-1], g2l_roi)):
+            size = froi.shape[1:3]
+            if enc.shape[1:3] != size:
+                enc = interpolate(enc, size, mode="bilinear",
+                                  align_corners=True)
+            if idx > 0:
+                up_in = jnp.concatenate([temp, guide_cat[idx - 1]], axis=-1)
+                up_in = interpolate(up_in, size, mode="bilinear",
+                                    align_corners=True)
+                enc = self.ups[idx - 1](
+                    jnp.concatenate([enc, up_in], axis=-1))
+            x = self.fuse_convs[idx](jnp.concatenate([enc, froi], axis=-1))
+            temp = x
+            outputs.append(x)
+        return outputs

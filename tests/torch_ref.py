@@ -12,6 +12,50 @@ import types
 REF = "/root/reference"
 
 
+def torch_roi_align(feat, boxes, output_size, spatial_scale=1.0,
+                    sampling_ratio=-1, aligned=False):
+    """Pure-torch port of torchvision.ops.roi_align (torchvision is not in
+    this image). Follows the published kernel semantics: aligned offset,
+    adaptive sampling grid, bilinear with zero outside [-1, size]."""
+    import torch
+    n, c, h, w = feat.shape
+    if boxes.shape[1] == 5:
+        batch_idx = boxes[:, 0].long()
+        boxes = boxes[:, 1:]
+    else:
+        batch_idx = torch.zeros(boxes.shape[0], dtype=torch.long)
+    oh, ow = output_size
+    off = 0.5 if aligned else 0.0
+    outs = []
+    for bi in range(boxes.shape[0]):
+        x1, y1, x2, y2 = (boxes[bi] * spatial_scale).tolist()
+        x1, y1, x2, y2 = x1 - off, y1 - off, x2 - off, y2 - off
+        roi_w, roi_h = x2 - x1, y2 - y1
+        if not aligned:
+            roi_w, roi_h = max(roi_w, 1.0), max(roi_h, 1.0)
+        gh = sampling_ratio if sampling_ratio > 0 else int(
+            __import__("math").ceil(roi_h / oh))
+        gw = sampling_ratio if sampling_ratio > 0 else int(
+            __import__("math").ceil(roi_w / ow))
+        sy = y1 + (torch.arange(oh * gh, dtype=torch.float64) + 0.5) \
+            * roi_h / (oh * gh)
+        sx = x1 + (torch.arange(ow * gw, dtype=torch.float64) + 0.5) \
+            * roi_w / (ow * gw)
+
+        def axis_w(coords, size):
+            valid = (coords >= -1.0) & (coords <= size)
+            cc = coords.clamp(0.0, size - 1)
+            idx = torch.arange(size, dtype=torch.float64)
+            wt = (1 - (cc[:, None] - idx[None, :]).abs()).clamp(min=0)
+            return wt * valid[:, None].to(wt)
+
+        wy = axis_w(sy, h).reshape(oh, gh, h).mean(1).float()
+        wx = axis_w(sx, w).reshape(ow, gw, w).mean(1).float()
+        f = feat[batch_idx[bi]]
+        outs.append(torch.einsum("ph,chw,qw->cpq", wy, f, wx))
+    return torch.stack(outs, 0)
+
+
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
@@ -94,6 +138,45 @@ def install_stubs():
     tvt = _stub("torchvision.transforms", Normalize=Normalize,
                 Compose=Compose, ToTensor=ToTensor)
     tv.transforms = tvt
+
+    tvo = _stub("torchvision.ops", roi_align=torch_roi_align)
+    tv.ops = tvo
+
+
+def _load_module(name, path):
+    import importlib.util
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def build_guided_fusion(**kwargs):
+    """Reference GuidedFusionPatchFusion, loaded file-directly to avoid the
+    estimator package __init__ chain (which imports cv2/kornia/etc.)."""
+    install_stubs()
+    import torch
+
+    class _Reg:
+        def register_module(self, cls=None, **kw):
+            if cls is not None:
+                return cls
+            return lambda c: c
+
+    for name in ["estimator", "estimator.models", "estimator.models.blocks"]:
+        _stub(name)
+    _stub("estimator.registry", MODELS=_Reg(), DATASETS=_Reg())
+    _load_module("estimator.models.blocks.swin_layers",
+                 REF + "/estimator/models/blocks/swin_layers.py")
+    gf = _load_module("estimator.models.blocks.guided_fusion_model",
+                      REF + "/estimator/models/blocks/guided_fusion_model.py")
+    torch.manual_seed(0)
+    model = gf.GuidedFusionPatchFusion(**kwargs)
+    model.eval()
+    return model
 
 
 def add_ref_paths():
