@@ -228,6 +228,43 @@ def zoedepth_params(sd: Mapping[str, Any], depth: int, prefix: str = ""
 
 
 # ---------------------------------------------------------------------------
+# Full PatchFusion
+# ---------------------------------------------------------------------------
+
+def patchfusion_params(sd: Mapping[str, Any], vit_depth: int,
+                       fusion_depths=(2, 2, 3, 3, 4, 4)
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Full reference PatchFusion state_dict (coarse + fine + fusion; see
+    patchfusion.py:176-187) -> (params, batch_stats) for PatchFusionNet."""
+    params: Dict[str, Any] = {
+        "coarse_branch": zoedepth_params(sd, vit_depth, "coarse_branch."),
+        "fine_branch": zoedepth_params(sd, vit_depth, "fine_branch."),
+        "head": metric_bins_head_params(sd, ""),
+    }
+    for i in range(6):
+        params[f"fusion_conv_{i}"] = conv(sd, f"fusion_conv_list.{i}")
+    fparams, fstats = guided_fusion_params(sd, fusion_depths,
+                                           "guided_fusion.")
+    params["fusion"] = fparams
+    return params, {"fusion": fstats}
+
+
+def fusion_only_params(sd: Mapping[str, Any],
+                       fusion_depths=(2, 2, 3, 3, 4, 4)
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """The reference's fusion-only checkpoint (get_save_dict strips the
+    frozen branches, patchfusion.py:179-187) -> partial param tree to merge
+    over branch params loaded from the coarse/fine checkpoints."""
+    params: Dict[str, Any] = {"head": metric_bins_head_params(sd, "")}
+    for i in range(6):
+        params[f"fusion_conv_{i}"] = conv(sd, f"fusion_conv_list.{i}")
+    fparams, fstats = guided_fusion_params(sd, fusion_depths,
+                                           "guided_fusion.")
+    params["fusion"] = fparams
+    return params, {"fusion": fstats}
+
+
+# ---------------------------------------------------------------------------
 # DINOv2 ViT
 # ---------------------------------------------------------------------------
 

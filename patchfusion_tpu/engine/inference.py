@@ -1,0 +1,253 @@
+"""Tiled 4K inference engine: one compiled XLA program per cai mode.
+
+Re-design of the reference hot path (estimator/models/patchfusion.py:401-453
++ baseline_pretrain.py:143-331). The reference drives tiling with Python
+loops of device ops (per-tile crop/resize bp:258-267, per-chunk forward
+bp:293-307, per-tile canvas pastes bp:310-326). Here the whole m1/m2/rN
+inference for a fixed (image_raw_shape, patch_split_num, cai_mode) bucket is
+ONE jitted function:
+
+  * tile crops = vmap(dynamic_slice) + batched matmul resize;
+  * fine+fusion runs over the tile batch, optionally chunked with `lax.map`
+    (`process_num` tiles per step — the reference's chunking knob, now a
+    memory/throughput tradeoff instead of a Python loop);
+  * stitching = reshape-paste per regular pass + a single running-average
+    update (mathematically identical to the reference's sequential per-tile
+    updates — see ops/stitch.py);
+  * random (rN) tiles arrive as data (origins array), so each (mode, n)
+    bucket compiles once and reruns for any random draw.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patchfusion_tpu.models.patchfusion import PatchFusionNet, TileConfig
+from patchfusion_tpu.ops.masks import blend_mask
+from patchfusion_tpu.ops.resize import interpolate
+from patchfusion_tpu.ops.stitch import AvgMap, paste_dynamic, paste_grid
+
+Array = jax.Array
+
+
+def crop_resize_tiles(image_hr: Array, origins: Array,
+                      patch_raw: Tuple[int, int],
+                      process_shape: Tuple[int, int]) -> Array:
+    """Batched crop + resize: (H,W,3) + (N,2)[y,x] -> (N,ph,pw,3).
+
+    Replaces the reference's per-tile Python loop (baseline_pretrain.py:
+    258-267); the resize matches the reference `Resize` transform (bilinear,
+    align_corners=True — ops/resize.py NetResizer semantics for the shipped
+    no-aspect-ratio configs)."""
+    th, tw = patch_raw
+
+    def one(origin):
+        return jax.lax.dynamic_slice(image_hr, (origin[0], origin[1], 0),
+                                     (th, tw, image_hr.shape[-1]))
+
+    crops = jax.vmap(one)(origins)
+    return interpolate(crops, process_shape, mode="bilinear",
+                       align_corners=True)
+
+
+def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int]) -> Array:
+    """Apply fn over the leading (tile) axis in `chunk`-sized steps via
+    lax.map (compiles the body once). Pads to a chunk multiple and drops the
+    padding — the XLA replacement for the reference's torch.split loop
+    (baseline_pretrain.py:293-307)."""
+    n = arrays[0].shape[0]
+    if chunk is None or chunk >= n:
+        return fn(*arrays)
+    pad = (-n) % chunk
+    if pad:
+        arrays = [jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0) for a in arrays]
+    stacked = [a.reshape(-1, chunk, *a.shape[1:]) for a in arrays]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
+    out = out.reshape(-1, *out.shape[2:])
+    return out[:n]
+
+
+class PatchFusionInference:
+    """Compiled tiled inference for PatchFusion / fine-only / coarse-only.
+
+    Modes (reference docs/user_infer.md:4-37, patchfusion.py:401-453):
+      m1: one pass of P*Q tiles;  m2: + 3 half-tile-shifted passes;
+      rN ("r128"...): m2 + N random tiles blended at raw resolution.
+    """
+
+    def __init__(self, net: PatchFusionNet, variables: Dict[str, Any],
+                 tile_cfg: TileConfig, process_num: Optional[int] = 4,
+                 fusion: bool = True):
+        self.net = net
+        self.variables = variables
+        self.tile_cfg = tile_cfg
+        self.process_num = process_num
+        self.fusion = fusion
+        self._compiled: Dict[Any, Any] = {}
+
+    # -- internals -----------------------------------------------------------
+
+    def _tile_batch(self, variables, image_hr, origins_raw: Array,
+                    boxes_process: Array, coarse_ctx) -> Array:
+        """Run fine(+fusion) on all tiles of a pass -> (N, ph, pw)."""
+        tc = self.tile_cfg
+        crops = crop_resize_tiles(image_hr, origins_raw, tc.patch_raw_shape,
+                                  tc.patch_process_shape)
+        if not self.fusion:
+            def run(crop_chunk):
+                depth, _ = self.net.apply(
+                    variables, crop_chunk,
+                    method=PatchFusionNet.fine_forward)
+                return depth[..., 0]
+            return _chunked(run, [crops], self.process_num)
+
+        coarse_depth, coarse_feats, g2l_feats = coarse_ctx
+        depth_roi, feat_rois, g2l_rois = self.net.apply(
+            variables, coarse_depth, coarse_feats, g2l_feats, boxes_process,
+            method=PatchFusionNet.coarse_postprocess)
+
+        def run(crop_chunk, droi_chunk, *roi_chunks):
+            frois = list(roi_chunks[:6])
+            grois = list(roi_chunks[6:])
+            depth = self.net.apply(
+                variables, crop_chunk, frois, grois, droi_chunk,
+                method=PatchFusionNet.infer_tiles)
+            return depth[..., 0]
+
+        return _chunked(run, [crops, depth_roi, *feat_rois, *g2l_rois],
+                        self.process_num)
+
+    def _coarse_ctx(self, variables, image_lr):
+        coarse_depth, coarse_feats = self.net.apply(
+            variables, image_lr, method=PatchFusionNet.coarse_forward)
+        if not self.fusion:
+            return None
+        g2l_feats = self.net.apply(variables, coarse_feats,
+                                   method=PatchFusionNet.attend_coarse)
+        return coarse_depth, coarse_feats, g2l_feats
+
+    def _build(self, mode: str, n_random: int):
+        """Trace one full-mode program. mode in {m1, m2, r}; rN adds
+        n_random random tiles in groups of process_num."""
+        tc = self.tile_cfg
+        pn = self.process_num or 1
+
+        offsets = [((0, 0), (0, 0))]
+        if mode in ("m2", "r"):
+            prh, prw = tc.patch_raw_shape
+            pph, ppw = tc.patch_process_shape
+            offsets += [((0, prw // 2), (0, ppw // 2)),
+                        ((prh // 2, 0), (pph // 2, 0)),
+                        ((prh // 2, prw // 2), (pph // 2, ppw // 2))]
+
+        blur = jnp.asarray(blend_mask(tc.patch_process_shape))
+        blur_raw = jnp.asarray(blend_mask(tc.patch_raw_shape))
+
+        def fn(variables, image_lr, image_hr, rand_origins):
+            coarse_ctx = self._coarse_ctx(variables, image_lr)
+            avg: Optional[AvgMap] = None
+            for (off_raw, off_proc) in offsets:
+                oh, ow = tc.regular_origins(off_raw)
+                poh, pow_ = tc.process_origins(off_proc)
+                boxes_raw = tc.bboxes_for(oh, ow)
+                boxes_p = tc.bbox_to_process(jnp.asarray(boxes_raw))
+                origins = np.array([[y, x] for y in oh for x in ow],
+                                   np.int32)
+                tiles = self._tile_batch(variables, image_hr,
+                                         jnp.asarray(origins), boxes_p,
+                                         coarse_ctx)
+                num = paste_grid(tiles * blur, poh, pow_,
+                                 tc.patch_reensemble_shape)
+                den = paste_grid(jnp.broadcast_to(
+                    blur, tiles.shape), poh, pow_,
+                    tc.patch_reensemble_shape)
+                if avg is None:
+                    avg = AvgMap.init(num, den)
+                else:
+                    avg = avg.update(num, den)
+
+            if mode == "r" and n_random > 0:
+                avg = avg.resize(tc.image_raw_shape)
+                groups = rand_origins.reshape(-1, pn, 2)
+
+                def one_group(gorigins):
+                    boxes_raw = jnp.concatenate([
+                        gorigins[:, 1:2], gorigins[:, 0:1],
+                        gorigins[:, 1:2] + tc.patch_raw_shape[1],
+                        gorigins[:, 0:1] + tc.patch_raw_shape[0]],
+                        axis=1).astype(jnp.float32)
+                    boxes_p = tc.bbox_to_process(boxes_raw)
+                    tiles = self._tile_batch(variables, image_hr, gorigins,
+                                             boxes_p, coarse_ctx)
+                    # reference resizes tile depth to raw tile size with
+                    # F.interpolate default mode == nearest (bp:203)
+                    tiles = interpolate(tiles[..., None], tc.patch_raw_shape,
+                                        mode="nearest")[..., 0]
+                    num = paste_dynamic(tiles * blur_raw, gorigins,
+                                        tc.image_raw_shape)
+                    den = paste_dynamic(jnp.broadcast_to(
+                        blur_raw, tiles.shape), gorigins, tc.image_raw_shape)
+                    return num, den
+
+                nums, dens = jax.lax.map(one_group, groups)
+                avg = avg.update(nums.sum(0), dens.sum(0))
+
+            return avg.average
+
+        return jax.jit(fn)
+
+    # -- public API ----------------------------------------------------------
+
+    def random_origins(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        """Host-side random tile origins replicating the reference's
+        distribution (baseline_pretrain.py:155-156: per group of process_num
+        tiles, independent h per tile but ONE shared w)."""
+        tc = self.tile_cfg
+        pn = self.process_num or 1
+        n_groups = n // pn
+        hs, ws = [], []
+        for _ in range(n_groups):
+            w = rng.integers(0, tc.image_raw_shape[1]
+                             - tc.patch_raw_shape[1] - 1, endpoint=True)
+            for _ in range(pn):
+                h = rng.integers(0, tc.image_raw_shape[0]
+                                 - tc.patch_raw_shape[0] - 1, endpoint=True)
+                hs.append(h)
+                ws.append(w)
+        return np.stack([np.array(hs), np.array(ws)], -1).astype(np.int32)
+
+    def infer(self, image_lr: Array, image_hr: Array, cai_mode: str = "m1",
+              rng: Optional[np.random.Generator] = None,
+              rand_origins: Optional[np.ndarray] = None) -> Array:
+        """image_lr: (1,h,w,3) process-res whole image; image_hr: (H,W,3)
+        raw-res image. Returns depth (H',W') — reensemble res for m1/m2,
+        raw res for rN (matching the reference tester's output which is then
+        bilinearly resized for eval)."""
+        if cai_mode.startswith("r"):
+            mode, n_random = "r", int(cai_mode[1:])
+            n_random = (n_random // (self.process_num or 1)) * \
+                (self.process_num or 1)
+            if rand_origins is not None:
+                rand = np.asarray(rand_origins, np.int32)
+                n_random = rand.shape[0]
+            else:
+                rng = rng or np.random.default_rng(0)
+                rand = self.random_origins(n_random, rng)
+        elif cai_mode in ("m1", "m2"):
+            mode, n_random = cai_mode, 0
+            rand = np.zeros((0, 2), np.int32)
+        else:  # reference quirk: unknown modes (e.g. "p16") behave as m1
+            mode, n_random = "m1", 0
+            rand = np.zeros((0, 2), np.int32)
+
+        key = (mode, n_random)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(mode, n_random)
+        return self._compiled[key](self.variables, image_lr, image_hr,
+                                   jnp.asarray(rand))

@@ -222,10 +222,16 @@ class ConditionalLogBinomial(nn.Module):
         one_minus_p = jnp.clip(1.0 - p, eps, 1.0)
 
         def log_binom(n, kk, e=1e-7):
+            # NOTE: the (n-kk) term hits 0*log(0+e) at kk == n. XLA is free
+            # to reassociate (n - kk + e) into (n + e) - kk which constant-
+            # folds to 0 in f32 and yields 0 * log(0) = NaN under jit; the
+            # max() is a reassociation barrier that keeps the +e intact
+            # (bit-identical to the reference dist_layers.py:29-33 result).
             n = n + e
             kk = kk + e
+            d = jnp.maximum(n - kk, 0.0)
             return (n * jnp.log(n) - kk * jnp.log(kk)
-                    - (n - kk) * jnp.log(n - kk + e))
+                    - d * jnp.log(d + e))
 
         y = (log_binom(km1, k) + k * jnp.log(p)
              + (km1 - k) * jnp.log(one_minus_p))

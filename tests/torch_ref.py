@@ -58,8 +58,13 @@ def torch_roi_align(feat, boxes, output_size, spatial_scale=1.0,
 
 def _stub(name, **attrs):
     if name in sys.modules:
-        return sys.modules[name]
+        m = sys.modules[name]
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
     m = types.ModuleType(name)
+    import importlib.machinery
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
@@ -75,14 +80,27 @@ def install_stubs():
         pass
 
     class ConfigDict(dict):
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+            for k, v in dict(*args, **kwargs).items():
+                self[k] = v
+
+        def __setitem__(self, k, v):
+            if isinstance(v, dict) and not isinstance(v, ConfigDict):
+                v = ConfigDict(v)
+            super().__setitem__(k, v)
+
         def __getattr__(self, k):
             try:
                 return self[k]
             except KeyError:
                 raise AttributeError(k)
 
+        def __setattr__(self, k, v):
+            self[k] = v
+
         def to_dict(self):
-            return dict(self)
+            return self
 
     mm = _stub("mmengine", print_log=print_log, ConfigDict=ConfigDict)
     _stub("mmengine.config", ConfigDict=ConfigDict)
@@ -142,6 +160,13 @@ def install_stubs():
     tvo = _stub("torchvision.ops", roi_align=torch_roi_align)
     tv.ops = tvo
 
+    # kornia (imported at top of reference losses.py; unused by SILog path)
+    kor = _stub("kornia")
+    klo = _stub("kornia.losses", dice_loss=None, focal_loss=None)
+    kfi = _stub("kornia.filters", spatial_gradient=None)
+    kor.losses = klo
+    kor.filters = kfi
+
 
 def _load_module(name, path):
     import importlib.util
@@ -175,6 +200,58 @@ def build_guided_fusion(**kwargs):
                       REF + "/estimator/models/blocks/guided_fusion_model.py")
     torch.manual_seed(0)
     model = gf.GuidedFusionPatchFusion(**kwargs)
+    model.eval()
+    return model
+
+
+def build_patchfusion_ref(config: dict):
+    """Full reference PatchFusion (patchfusion.py:56-174) with random
+    weights, loaded file-directly with stubbed deps."""
+    install_stubs()
+    add_ref_paths()
+    import os
+    import torch
+
+    class _Reg:
+        def register_module(self, cls=None, **kw):
+            if cls is not None:
+                return cls
+            return lambda c: c
+
+    for name in ["estimator", "estimator.models", "estimator.models.blocks"]:
+        _stub(name)
+    _stub("estimator.registry", MODELS=_Reg(), DATASETS=_Reg())
+    _load_module("estimator.models.utils",
+                 REF + "/estimator/models/utils.py")
+    losses = _load_module("estimator.models.losses",
+                          REF + "/estimator/models/losses.py")
+    _load_module("estimator.models.blocks.swin_layers",
+                 REF + "/estimator/models/blocks/swin_layers.py")
+    gf = _load_module("estimator.models.blocks.guided_fusion_model",
+                      REF + "/estimator/models/blocks/guided_fusion_model.py")
+
+    def build_model(cfg, **extra):
+        cfg = dict(cfg)
+        t = cfg.pop("type")
+        table = {"SILogLoss": losses.SILogLoss,
+                 "GuidedFusionPatchFusion": gf.GuidedFusionPatchFusion}
+        return table[t](**cfg, **extra)
+
+    sys.modules["estimator.models"].build_model = build_model
+    bp = _load_module("estimator.models.baseline_pretrain",
+                      REF + "/estimator/models/baseline_pretrain.py")
+    sys.modules["estimator.models"].baseline_pretrain = bp
+    pf = _load_module("estimator.models.patchfusion",
+                      REF + "/estimator/models/patchfusion.py")
+
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        # plain dict -> the from-hub path (load_branch=False, no ckpt IO)
+        model = pf.PatchFusion(dict(config))
+    finally:
+        os.chdir(cwd)
     model.eval()
     return model
 
