@@ -1,0 +1,104 @@
+"""Throughput benchmark: 4K images/sec/chip for PatchFusion tiled inference.
+
+Target metric (BASELINE.json): DA-vitl, p49 (= cai_mode m2 on a 4x4 split) on
+2160x3840 input. The reference publishes no numbers (SURVEY §6); the
+`vs_baseline` ratio is against A100_P49_IMG_PER_S below — our working
+estimate of the PyTorch reference's A100 throughput for the same config
+(49 ZoeDepth-vitl tile passes + 1 coarse pass per image; the reference
+README:61 states inference time is linear in base-model time).
+
+Env overrides: BENCH_CORE (vitl|vitb|vits), BENCH_MODE (m1|m2|rN),
+BENCH_DTYPE (bf16|f32), BENCH_ITERS, BENCH_PROCESS_NUM.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# A100 80GB PyTorch 2.1 estimate for DA-vitl p49 4K inference, img/s.
+# Derivation: ZoeDepth-DA-vitl at 392x518 runs ~20 img/s on A100 (fp16,
+# batched); p49 needs 50 such passes plus fusion/attention overhead
+# => ~0.33 img/s. Kept fixed across rounds so the ratio is comparable.
+A100_P49_IMG_PER_S = 0.33
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    core = os.environ.get("BENCH_CORE", "vitl")
+    mode = os.environ.get("BENCH_MODE", "m2")
+    dtype_s = os.environ.get("BENCH_DTYPE", "bf16")
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
+    dtype = jnp.bfloat16 if dtype_s == "bf16" else jnp.float32
+
+    from patchfusion_tpu.models.builder import build_patchfusion
+    from patchfusion_tpu.engine.inference import PatchFusionInference
+
+    sizes = [(14, 19), (28, 37), (56, 74), (112, 148), (224, 296),
+             (392, 518)]
+    c = {"vits": 64, "vitb": 128, "vitl": 256}[core]
+    zoe = dict(type="DA-ZoeDepth", midas_model_type=core,
+               img_size=[392, 518], n_bins=64, bin_centers_type="softplus",
+               bin_embedding_dim=128, n_attractors=[16, 8, 4, 1],
+               attractor_alpha=1000, attractor_gamma=2,
+               attractor_kind="mean", attractor_type="inv",
+               min_temp=0.0212, max_temp=50.0)
+    config = dict(
+        image_raw_shape=(2160, 3840), patch_split_num=(4, 4),
+        patch_process_shape=(392, 518), min_depth=1e-3, max_depth=80,
+        coarse_branch=zoe, fine_branch=zoe,
+        guided_fusion=dict(type="GuidedFusionPatchFusion",
+                           patch_process_shape=(392, 518),
+                           in_channels=[32, c, c, c, c, c],
+                           num_patches=[h * w for (h, w) in sizes[::-1]],
+                           n_channels=5, g2l=True),
+        sigloss=dict(type="SILogLoss"))
+
+    net, tile_cfg = build_patchfusion(config, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    image_lr = jnp.zeros((1, 392, 518, 3), jnp.float32)
+    image_hr = jnp.zeros((2160, 3840, 3), jnp.float32)
+    crops = jnp.zeros((1, 392, 518, 3), jnp.float32)
+    bboxs = jnp.asarray([[0., 0., 960., 540.]], jnp.float32)
+    t0 = time.time()
+    variables = net.init(rng, image_lr, crops, bboxs)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    engine = PatchFusionInference(net, variables, tile_cfg,
+                                  process_num=process_num)
+
+    img = np.random.default_rng(0).random((2160, 3840, 3),
+                                          np.float32)
+    lr = np.asarray(jax.image.resize(jnp.asarray(img), (392, 518, 3),
+                                     "linear"))[None]
+    t0 = time.time()
+    d = engine.infer(lr, img, cai_mode=mode)
+    d.block_until_ready()
+    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        d = engine.infer(lr, img, cai_mode=mode)
+        d.block_until_ready()
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    img_per_s = 1.0 / dt
+    paper_mode = {"m1": "p16", "m2": "p49"}.get(mode, mode)
+    print(json.dumps({
+        "metric": f"4K images/sec/chip (DA-{core}, {paper_mode}, "
+                  f"{dtype_s})",
+        "value": round(img_per_s, 4),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / A100_P49_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

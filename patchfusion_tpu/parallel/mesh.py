@@ -1,0 +1,60 @@
+"""Device mesh + sharding policy.
+
+The reference's only distributed strategies (SURVEY §2.6) are:
+  * DDP data parallelism for training/eval (NCCL allreduce,
+    reference tools/train.py:164, estimator/utils/dist.py:31-33), and
+  * within-host tile batching for inference (baseline_pretrain.py:293-307).
+
+TPU-native mapping: ONE `jax.sharding.Mesh` with
+  * a `data` axis — batch-sharded training (gradient psum inserted by XLA;
+    BatchNorm reductions over the sharded batch axis give SyncBN for free
+    under GSPMD, replacing the reference's convert_syncbn), and
+  * a `patch` axis — the tile batch of the inference engine sharded over
+    ICI (the reference's process_num loop becomes cross-chip parallelism).
+
+Both axes are the same devices viewed 1-D; training and inference use the
+view they need.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data"
+              ) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    axis = mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Mesh):
+    """Device-put a host batch with its leading axis sharded over the mesh."""
+    return jax.device_put(x, data_sharding(mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (the reference's `setup_env`/`init_dist`,
+    estimator/utils/dist.py:6-42, re-expressed as jax.distributed)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
