@@ -1,0 +1,11 @@
+# PatchFusion fusion stage, Depth-Anything ViT-B (deltas over vitl base).
+_base_ = ["./depthanything_vitl_patchfusion_u4k.py"]
+
+model = dict(config=dict(
+    pretrain_model=[
+        "./work_dir/depthanything_vitb_u4k/coarse_pretrain/checkpoint_24.ckpt",
+        "./work_dir/depthanything_vitb_u4k/fine_pretrain/checkpoint_24.ckpt",
+    ],
+    coarse_branch=dict(midas_model_type="vitb"),
+    fine_branch=dict(midas_model_type="vitb"),
+    guided_fusion=dict(in_channels=[32, 128, 128, 128, 128, 128])))

@@ -1,0 +1,192 @@
+"""User-facing PatchFusion API.
+
+Mirrors the reference's public surface (README:63-75,
+tools/test_single_forward.py): build from a config or a pretrained
+checkpoint directory, then call tiled inference. A reference user writes
+
+    model = PatchFusion.from_pretrained('Zhyever/patchfusion_...')
+    depth, _ = model(mode='infer', cai_mode='r128', process_num=4,
+                     image_lr=lr, image_hr=hr)
+
+and here:
+
+    model = PatchFusion.from_pretrained('<local snapshot dir>')   # or
+    model = PatchFusion.from_config(cfg_dict, ckpts=(coarse, fine, fusion))
+    depth = model.infer(image_lr, image_hr, cai_mode='r128', process_num=4)
+
+(`model.resizer` and `model.tile_cfg` are provided like the reference's.)
+Zero-egress note: from_pretrained takes a LOCAL directory in the HF snapshot
+layout (config.json + pytorch_model.bin/safetensors); hub download is
+attempted only if huggingface_hub can reach the network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from patchfusion_tpu.config import ConfigDict
+from patchfusion_tpu.engine.inference import PatchFusionInference
+from patchfusion_tpu.models.builder import build_patchfusion
+from patchfusion_tpu.models.dinov2 import VIT_CONFIGS
+from patchfusion_tpu.models.patchfusion import TileConfig
+from patchfusion_tpu.ops.resize import NetResizer
+
+
+class PatchFusion:
+    def __init__(self, net, tile_cfg: TileConfig, variables: Dict[str, Any],
+                 config: Dict[str, Any], process_num: int = 4):
+        self.net = net
+        self.tile_cfg = tile_cfg
+        self.variables = variables
+        self.config = config
+        multiple = 14 if config["coarse_branch"].get(
+            "type", "DA-ZoeDepth") == "DA-ZoeDepth" else 32
+        pph, ppw = tile_cfg.patch_process_shape
+        self.resizer = NetResizer(ppw, pph, keep_aspect_ratio=False,
+                                  ensure_multiple_of=multiple,
+                                  resize_method="minimal")
+        self._engines: Dict[int, PatchFusionInference] = {}
+        self.default_process_num = process_num
+
+    # -- constructors ---------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any],
+                    ckpts: Optional[Tuple[str, str, Optional[str]]] = None,
+                    dtype=jnp.float32, seed: int = 0) -> "PatchFusion":
+        """config: the reference model.config dict. ckpts: optional
+        (coarse.pth, fine.pth, fusion.pth) reference checkpoints."""
+        net, tile_cfg = build_patchfusion(config, dtype=dtype)
+        if ckpts is not None:
+            from patchfusion_tpu.engine.checkpoint import \
+                load_patchfusion_from_torch
+            depth = VIT_CONFIGS[
+                config["coarse_branch"]["midas_model_type"]]["depth"]
+            fusion_depths = tuple(config["guided_fusion"].get(
+                "depth", (2, 2, 3, 3, 4, 4)))
+            params, stats = load_patchfusion_from_torch(
+                ckpts[0], ckpts[1], ckpts[2], depth, fusion_depths)
+            missing = _init_missing(net, tile_cfg, params, stats, seed)
+            variables = missing
+        else:
+            variables = _init_variables(net, tile_cfg, seed)
+        return cls(net, tile_cfg, variables, config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.float32) -> "PatchFusion":
+        """Load a HF-layout snapshot directory: config.json (the reference
+        convert_huggingface.py export) + pytorch_model.bin/safetensors."""
+        if not os.path.isdir(path):
+            from huggingface_hub import snapshot_download
+            path = snapshot_download(path)
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        config = _normalize_hub_config(raw)
+        net, tile_cfg = build_patchfusion(config, dtype=dtype)
+        from patchfusion_tpu.engine.checkpoint import \
+            load_patchfusion_hub_dir
+        depth = VIT_CONFIGS[
+            config["coarse_branch"]["midas_model_type"]]["depth"]
+        fusion_depths = tuple(config["guided_fusion"].get(
+            "depth", (2, 2, 3, 3, 4, 4)))
+        params, stats = load_patchfusion_hub_dir(path, depth, fusion_depths)
+        variables = {"params": params, "batch_stats": stats}
+        return cls(net, tile_cfg, variables, config)
+
+    # -- inference -------------------------------------------------------------
+
+    def engine(self, process_num: Optional[int] = None,
+               tile_cfg: Optional[TileConfig] = None
+               ) -> PatchFusionInference:
+        pn = process_num or self.default_process_num
+        tc = tile_cfg or self.tile_cfg
+        key = (pn, tc.image_raw_shape, tc.patch_split_num)
+        if key not in self._engines:
+            self._engines[key] = PatchFusionInference(
+                self.net, self.variables, tc, process_num=pn)
+        return self._engines[key]
+
+    def infer(self, image_lr: np.ndarray, image_hr: np.ndarray,
+              cai_mode: str = "m1", process_num: Optional[int] = None,
+              image_raw_shape=None, patch_split_num=None,
+              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """image_lr (1,h,w,3) NHWC in [0,1]; image_hr (H,W,3). Returns
+        depth (H', W') numpy."""
+        tc = self.tile_cfg
+        if image_raw_shape is not None or patch_split_num is not None:
+            tc = TileConfig(
+                tuple(image_raw_shape or tc.image_raw_shape),
+                tuple(patch_split_num or tc.patch_split_num),
+                tc.patch_process_shape)
+        eng = self.engine(process_num, tc)
+        return np.asarray(eng.infer(image_lr, image_hr, cai_mode=cai_mode,
+                                    rng=rng))
+
+    def __call__(self, mode: str = "infer", image_lr=None, image_hr=None,
+                 cai_mode: str = "m1", process_num: int = 4, tile_cfg=None,
+                 **kwargs):
+        """Reference-signature compatibility shim
+        (patchfusion.py:359-453): returns (depth (1,1,H,W), log dict)."""
+        assert mode == "infer", "use engine/training for the train path"
+        lr = _to_nhwc(image_lr)
+        hr = _to_nhwc(image_hr)[0]
+        kw = {}
+        if tile_cfg is not None:
+            kw = dict(image_raw_shape=tile_cfg.get("image_raw_shape"),
+                      patch_split_num=tile_cfg.get("patch_split_num"))
+        depth = self.infer(lr, hr, cai_mode=cai_mode,
+                           process_num=process_num, **kw)
+        return depth[None, None], {"rgb": image_lr,
+                                   "depth_pred": depth[None, None]}
+
+
+def _to_nhwc(x):
+    x = np.asarray(x)
+    if x.ndim == 4 and x.shape[1] == 3:
+        return np.moveaxis(x, 1, -1)
+    return x
+
+
+def _normalize_hub_config(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """The reference hub export stores the mmengine config (sometimes with
+    dict-valued fields serialized as strings — see patchfusion.py:71-76);
+    normalize to a plain dict."""
+    import ast
+    cfg = raw.get("config", raw)
+    out = {}
+    for k, v in cfg.items():
+        if isinstance(v, str) and v.startswith(("{", "(", "[")):
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
+        out[k] = v
+    return out
+
+
+def _init_variables(net, tile_cfg: TileConfig, seed: int) -> Dict[str, Any]:
+    import jax
+    pph, ppw = tile_cfg.patch_process_shape
+    image_lr = jnp.zeros((1, pph, ppw, 3), jnp.float32)
+    crops = jnp.zeros((1, pph, ppw, 3), jnp.float32)
+    bboxs = jnp.asarray([[0.0, 0.0, tile_cfg.patch_raw_shape[1],
+                          tile_cfg.patch_raw_shape[0]]], jnp.float32)
+    return net.init(jax.random.PRNGKey(seed), image_lr, crops, bboxs)
+
+
+def _init_missing(net, tile_cfg: TileConfig, params: Dict[str, Any],
+                  stats: Dict[str, Any], seed: int) -> Dict[str, Any]:
+    """Fill any subtrees absent from the converted checkpoints (e.g. a
+    missing fusion ckpt -> randomly-initialized fusion, the reference's
+    strict=False load_dict behavior) with fresh init values."""
+    init = _init_variables(net, tile_cfg, seed)
+    merged_p = dict(init["params"])
+    merged_p.update(params)
+    merged_s = dict(init.get("batch_stats", {}))
+    merged_s.update(stats)
+    return {"params": merged_p, "batch_stats": merged_s}

@@ -119,12 +119,30 @@ def _exec_config_file(path: str) -> Dict[str, Any]:
     return cfg
 
 
+def _resolve_refs(node, root: dict):
+    """Resolve `dict(_refer_='top_level_key', **overrides)` placeholders —
+    an extension over mmengine (whose configs must inline shared blocks like
+    zoe_depth_config in every file); overrides deep-merge over the referent.
+    """
+    if isinstance(node, dict):
+        if "_refer_" in node:
+            target = copy.deepcopy(root[node["_refer_"]])
+            overrides = {k: v for k, v in node.items() if k != "_refer_"}
+            merged = _merge_a_into_b(overrides, target)
+            return _resolve_refs(merged, root)
+        return {k: _resolve_refs(v, root) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return type(node)(_resolve_refs(v, root) for v in node)
+    return node
+
+
 class Config(ConfigDict):
     """mmengine.Config stand-in: fromfile / merge_from_dict / dump."""
 
     @staticmethod
     def fromfile(path: str) -> "Config":
-        cfg = Config(_exec_config_file(path))
+        raw = _exec_config_file(path)
+        cfg = Config(_resolve_refs(raw, raw))
         cfg.__dict__["_filename"] = path
         return cfg
 

@@ -1,0 +1,128 @@
+"""Host-side data transforms (numpy HWC), matching the reference
+estimator/datasets/transformers/ semantics:
+  aug_flip / aug_color (gamma+brightness+per-channel color) / aug_rotate
+  (PIL bilinear image, nearest depth) / random_crop (returns crop origin).
+
+The network-input resize (`HostResizer`) reproduces the reference `Resize`
+transform (bilinear align_corners=True + multiple-of rounding,
+depth_anything/transform.py) on the host with the same weight-matrix math as
+the device op (ops/resize.py), so host- and device-side resizes agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from patchfusion_tpu.ops.resize import (minimal_multiple_resize_size,
+                                        resize_matrix)
+
+ArrayList = Union[np.ndarray, List[np.ndarray]]
+
+
+def aug_flip(image: np.ndarray, gts: ArrayList,
+             rng: np.random.Generator) -> Tuple[np.ndarray, ArrayList]:
+    if rng.random() > 0.5:
+        image = image[:, ::-1, :].copy()
+        if isinstance(gts, list):
+            gts = [g[:, ::-1].copy() for g in gts]
+        else:
+            gts = gts[:, ::-1].copy()
+    return image, gts
+
+
+def aug_color(image: np.ndarray, rng: np.random.Generator,
+              brightness_range=(0.9, 1.1)) -> np.ndarray:
+    if rng.random() > 0.5:
+        gamma = rng.uniform(0.9, 1.1)
+        out = image ** gamma
+        out = out * rng.uniform(*brightness_range)
+        colors = rng.uniform(0.9, 1.1, size=3).astype(np.float32)
+        out = np.clip(out * colors[None, None, :], 0, 1)
+        image = out.astype(np.float32)
+    return image
+
+
+def aug_rotate(image: np.ndarray, gts: ArrayList, degree: float,
+               rng: np.random.Generator) -> Tuple[np.ndarray, ArrayList]:
+    angle = (rng.random() - 0.5) * 2 * degree
+    img = Image.fromarray(image)
+    img = img.rotate(angle, resample=Image.BILINEAR)
+    image = np.asarray(img).copy()
+
+    def rot(d):
+        return np.asarray(Image.fromarray(d).rotate(
+            angle, resample=Image.NEAREST)).copy()
+
+    if isinstance(gts, list):
+        gts = [rot(g) for g in gts]
+    else:
+        gts = rot(gts)
+    return image, gts
+
+
+def random_crop(image: np.ndarray, gts: ArrayList,
+                crop_size: Tuple[int, int], rng: np.random.Generator
+                ) -> Tuple[np.ndarray, ArrayList, List[int]]:
+    """image HWC; returns (crop, gt crops, [h_start, w_start])."""
+    h, w = image.shape[:2]
+    hs = int(rng.integers(0, h - crop_size[0], endpoint=True))
+    ws = int(rng.integers(0, w - crop_size[1], endpoint=True))
+    image = image[hs:hs + crop_size[0], ws:ws + crop_size[1]].copy()
+
+    def crop(d):
+        return d[hs:hs + crop_size[0], ws:ws + crop_size[1]].copy()
+
+    if isinstance(gts, list):
+        gts = [crop(g) for g in gts]
+    else:
+        gts = crop(gts)
+    return image, gts, [hs, ws]
+
+
+class HostResizer:
+    """Reference Resize transform on host numpy HWC arrays: bilinear
+    align_corners=True to the multiple-of-constrained target size."""
+
+    def __init__(self, width: int, height: int,
+                 keep_aspect_ratio: bool = False, ensure_multiple_of: int = 1,
+                 resize_method: str = "minimal"):
+        self.width = width
+        self.height = height
+        self.keep_aspect_ratio = keep_aspect_ratio
+        self.multiple_of = ensure_multiple_of
+        self.resize_method = resize_method
+
+    def get_size(self, height: int, width: int) -> Tuple[int, int]:
+        return minimal_multiple_resize_size(
+            height, width, self.height, self.width, self.multiple_of,
+            self.keep_aspect_ratio, self.resize_method)
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        h, w = image.shape[:2]
+        oh, ow = self.get_size(h, w)
+        if (oh, ow) == (h, w):
+            return image.astype(np.float32)
+        wh = resize_matrix(oh, h, "bilinear", align_corners=True)
+        ww = resize_matrix(ow, w, "bilinear", align_corners=True)
+        x = image.astype(np.float32)
+        if x.ndim == 2:
+            return wh @ x @ ww.T
+        return np.einsum("ph,hwc,qw->pqc", wh, x, ww)
+
+
+def make_resizer(resize_mode: str, network_process_size: Sequence[int]
+                 ) -> HostResizer:
+    """'zoe' -> multiple-of-32, 'depth-anything' -> multiple-of-14
+    (reference u4k_dataset.py:45-52)."""
+    net_h, net_w = network_process_size
+    if resize_mode == "zoe":
+        return HostResizer(net_w, net_h, keep_aspect_ratio=False,
+                           ensure_multiple_of=32, resize_method="minimal")
+    if resize_mode == "depth-anything":
+        return HostResizer(net_w, net_h, keep_aspect_ratio=False,
+                           ensure_multiple_of=14, resize_method="minimal")
+    raise NotImplementedError(resize_mode)

@@ -1,0 +1,130 @@
+"""Training run loop (reference estimator/trainer/trainer.py).
+
+Epoch-based loop with per-iteration OneCycle stepping, periodic validation
+with cross-process metric gathering, checkpointing (fusion-only save for
+PatchFusion, matching reference get_save_dict patchfusion.py:179-187), and
+optional wandb logging. SPMD data parallelism: the jitted train step runs
+under a `data` mesh with batch-sharded inputs and replicated state; XLA
+inserts the gradient psum (the DDP allreduce equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from patchfusion_tpu.engine.checkpoint import save_checkpoint
+from patchfusion_tpu.engine.training import TrainState
+from patchfusion_tpu.parallel.mesh import make_mesh
+from patchfusion_tpu.utils.misc import setup_logger
+
+BATCH_KEYS = ("image_lr", "crops_image_hr", "depth_gt", "crop_depths",
+              "bboxs")
+
+
+def collect_input(batch: Dict[str, Any], collect_keys) -> Dict[str, Any]:
+    """Whitelist the batch keys that reach the model (reference
+    trainer.py:128-134 + config collect_input_args)."""
+    return {k: batch[k] for k in collect_keys if k in batch}
+
+
+class Trainer:
+    def __init__(self, net, tx, state: TrainState, train_step: Callable,
+                 train_loader, val_loader=None, val_fn=None,
+                 max_epochs: int = 16, val_interval: int = 2,
+                 save_checkpoint_interval: int = 16, log_interval: int = 100,
+                 work_dir: str = "./work_dir", use_wandb: bool = False,
+                 collect_keys=BATCH_KEYS, eval_start: int = 0,
+                 logger=None):
+        self.net = net
+        self.tx = tx
+        self.state = state
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.val_fn = val_fn
+        self.max_epochs = max_epochs
+        self.val_interval = val_interval
+        self.save_interval = save_checkpoint_interval
+        self.log_interval = log_interval
+        self.work_dir = work_dir
+        self.collect_keys = collect_keys
+        self.eval_start = eval_start
+        self.logger = logger or setup_logger()
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self.wandb = wandb
+            except ImportError:
+                self.logger.warning("wandb unavailable; logging to console")
+
+        self.mesh = make_mesh(axis="data")
+        self.data_sharding = NamedSharding(self.mesh, P("data"))
+        self.repl = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, self.repl)
+        self._step = jax.jit(train_step,
+                             out_shardings=(self.repl, self.repl))
+
+    def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = jax.device_put(v, self.data_sharding)
+        return out
+
+    def train_epoch(self, epoch: int) -> None:
+        if hasattr(self.train_loader, "sampler"):
+            self.train_loader.sampler.set_epoch(epoch)
+        t0 = time.time()
+        for it, batch in enumerate(self.train_loader):
+            device_batch = self._put(collect_input(batch,
+                                                   self.collect_keys))
+            self.state, logs = self._step(self.state, device_batch)
+            if it % self.log_interval == 0:
+                loss = float(logs["total_loss"])
+                dt = time.time() - t0
+                self.logger.info(
+                    "epoch %d iter %d loss %.4f (%.2fs/it)", epoch, it,
+                    loss, dt / max(it, 1))
+                if self.wandb:
+                    self.wandb.log({"Train/total_loss": loss,
+                                    "epoch": epoch})
+
+    def val_epoch(self, epoch: int) -> Optional[Dict[str, float]]:
+        """Validation (reference trainer.py:137-216): per-image inference +
+        metric gather across processes."""
+        if self.val_loader is None or self.val_fn is None:
+            return None
+        results = []
+        for batch in self.val_loader:
+            results.append(self.val_fn(self.state, batch))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            results = multihost_utils.process_allgather(results)
+        metrics = self.val_loader.dataset.evaluate(results,
+                                                   logger=self.logger)
+        if self.wandb:
+            self.wandb.log({f"Val/{k}": v for k, v in metrics.items()})
+        return metrics
+
+    def save(self, epoch: int) -> None:
+        if jax.process_index() != 0:
+            return
+        os.makedirs(self.work_dir, exist_ok=True)
+        path = os.path.join(self.work_dir, f"checkpoint_{epoch:02d}.ckpt")
+        save_checkpoint(path, self.state, epoch)
+        self.logger.info("saved checkpoint to %s", path)
+
+    def run(self) -> None:
+        for epoch in range(1, self.max_epochs + 1):
+            self.train_epoch(epoch)
+            if epoch >= self.eval_start and epoch % self.val_interval == 0:
+                self.val_epoch(epoch)
+            if epoch % self.save_interval == 0 or epoch == self.max_epochs:
+                self.save(epoch)
