@@ -83,13 +83,30 @@ class PatchFusionInference:
 
     def __init__(self, net: PatchFusionNet, variables: Dict[str, Any],
                  tile_cfg: TileConfig, process_num: Optional[int] = 4,
-                 fusion: bool = True):
+                 fusion: bool = True, mesh=None, patch_axis: str = "patch"):
+        """mesh: optional jax.sharding.Mesh with a `patch_axis` — the tile
+        batch of every pass is sharded over it (ICI tile parallelism, the
+        multi-chip replacement for the reference's process_num chunk loop).
+        With a mesh, process_num chunking is disabled (the shard IS the
+        chunk)."""
         self.net = net
         self.variables = variables
         self.tile_cfg = tile_cfg
-        self.process_num = process_num
+        self.process_num = None if mesh is not None else process_num
         self.fusion = fusion
+        self.mesh = mesh
+        self.patch_axis = patch_axis
         self._compiled: Dict[Any, Any] = {}
+
+    def _shard_tiles(self, x: Array) -> Array:
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n = x.shape[0]
+        ndev = self.mesh.shape[self.patch_axis]
+        spec = P(self.patch_axis) if n % ndev == 0 else P()
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
 
     # -- internals -----------------------------------------------------------
 
@@ -99,6 +116,7 @@ class PatchFusionInference:
         tc = self.tile_cfg
         crops = crop_resize_tiles(image_hr, origins_raw, tc.patch_raw_shape,
                                   tc.patch_process_shape)
+        crops = self._shard_tiles(crops)
         if not self.fusion:
             def run(crop_chunk):
                 depth, _ = self.net.apply(

@@ -124,6 +124,57 @@ def resize_matrix(out_size: int, in_size: int, mode: str = "bilinear",
     raise ValueError(f"unsupported resize mode: {mode}")
 
 
+def _tap_plan(out_size: int, in_size: int, mode: str, align_corners: bool,
+              scale: Optional[float]) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (taps, weights) for one axis: indices (out, k) into the input
+    and f32 weights (out, k) — k=1 (nearest), 2 (bilinear), 4 (bicubic).
+
+    A resize is a 2/4-tap banded operator; materializing it as a dense
+    (out, in) matmul costs O(in) FLOPs per output on the MXU. Gathering the
+    k taps and lerping on the VPU is memory-bound and exact — that is the
+    TPU-native formulation (same arithmetic as the PyTorch kernels).
+    """
+    if mode == "nearest":
+        idx = np.floor(np.arange(out_size, dtype=np.float64)
+                       * in_size / out_size)
+        idx = np.clip(idx.astype(np.int64), 0, in_size - 1)
+        return idx[:, None], np.ones((out_size, 1), np.float32)
+    src = _source_coords(out_size, in_size, align_corners, scale)
+    if mode in ("bilinear", "linear"):
+        src = np.clip(src, 0.0, in_size - 1)
+        i0 = np.floor(src).astype(np.int64)
+        i0 = np.clip(i0, 0, in_size - 1)
+        i1 = np.clip(i0 + 1, 0, in_size - 1)
+        t = (src - i0).astype(np.float32)
+        taps = np.stack([i0, i1], -1)
+        weights = np.stack([1.0 - t, t], -1)
+        return taps, weights.astype(np.float32)
+    if mode in ("bicubic", "cubic"):
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        taps = np.stack([np.clip(i0 + k, 0, in_size - 1)
+                         for k in range(-1, 3)], -1)
+        weights = np.stack([_cubic_kernel(frac - k)
+                            for k in range(-1, 3)], -1)
+        return taps, weights.astype(np.float32)
+    raise ValueError(f"unsupported resize mode: {mode}")
+
+
+def _resize_axis(x: Array, axis: int, taps: np.ndarray,
+                 weights: np.ndarray) -> Array:
+    """Gather the k taps along `axis` and combine with static weights."""
+    k = taps.shape[1]
+    shape = [1] * x.ndim
+    shape[axis] = weights.shape[0]
+    acc = None
+    for j in range(k):
+        g = jnp.take(x, jnp.asarray(taps[:, j]), axis=axis)
+        w = jnp.asarray(weights[:, j]).reshape(shape)
+        term = g * w
+        acc = term if acc is None else acc + term
+    return acc
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 5, 6),
                    static_argnames=("size", "mode", "align_corners",
                                     "scale", "h_axis", "w_axis"))
@@ -142,30 +193,23 @@ def interpolate(x: Array, size: Tuple[int, int], mode: str = "bilinear",
         `scale_factor=...` coordinate mapping (used by DINOv2 pos-embed
         interpolation, reference vision_transformer.py:199-205).
 
-    The resize is two einsum contractions with constant-foldable weight
-    matrices — MXU work, no gathers.
+    Separable k-tap gather+lerp with constant taps/weights — VPU work at
+    memory bandwidth, bit-matching the PyTorch kernels' arithmetic.
     """
     h_axis = h_axis % x.ndim
     w_axis = w_axis % x.ndim
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     out_h, out_w = size
     dtype = x.dtype
-    wh = resize_matrix(out_h, in_h, mode, align_corners,
-                       None if scale is None else scale[0])
-    ww = resize_matrix(out_w, in_w, mode, align_corners,
-                       None if scale is None else scale[1])
-    # HIGHEST precision: these contractions define PyTorch-parity resize
-    # semantics, so they must be true f32 even on the MXU (where the default
-    # is bf16 passes).
-    hi = jax.lax.Precision.HIGHEST
     xf = x.astype(jnp.float32)
-    xf = jnp.tensordot(jnp.asarray(wh), xf, axes=((1,), (h_axis,)),
-                       precision=hi)
-    # tensordot moved the H axis to front; move back
-    xf = jnp.moveaxis(xf, 0, h_axis)
-    xf = jnp.tensordot(jnp.asarray(ww), xf, axes=((1,), (w_axis,)),
-                       precision=hi)
-    xf = jnp.moveaxis(xf, 0, w_axis)
+    if out_h != in_h or scale is not None:
+        th, wh = _tap_plan(out_h, in_h, mode, align_corners,
+                           None if scale is None else scale[0])
+        xf = _resize_axis(xf, h_axis, th, wh)
+    if out_w != in_w or scale is not None:
+        tw, ww = _tap_plan(out_w, in_w, mode, align_corners,
+                           None if scale is None else scale[1])
+        xf = _resize_axis(xf, w_axis, tw, ww)
     return xf.astype(dtype)
 
 

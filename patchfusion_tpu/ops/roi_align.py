@@ -77,6 +77,44 @@ def _grid_count(roi_extent: float, out: int) -> int:
     return max(1, int(np.ceil(roi_extent / out)))
 
 
+def _tap_coords(start: Array, size: Array, out: int, in_size: int):
+    """(coords (N, out), valid (N, out)) for grid=1 sampling: one sample at
+    each bin center, torchvision boundary rules."""
+    s = jnp.arange(out, dtype=jnp.float32)
+    coord = start[:, None] + (s[None, :] + 0.5) * (size[:, None] / out)
+    valid = (coord >= -1.0) & (coord <= in_size)
+    cc = jnp.clip(coord, 0.0, in_size - 1)
+    return cc, valid
+
+
+def _lerp_axis_single(x: Array, coords: Array, valid: Array,
+                      axis_is_w: bool) -> Array:
+    """2-tap gather+lerp along H (axis_is_w=False: x (H,W,C) shared across
+    boxes -> (N,out,W,C)) or along W (x (N,out_h,W,C) -> (N,out_h,out,C))."""
+    i0 = jnp.floor(coords).astype(jnp.int32)
+    in_size = x.shape[2 if axis_is_w else 0]
+    i0 = jnp.clip(i0, 0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    t = (coords - i0)[..., None]
+    if not axis_is_w:
+        n, out = coords.shape
+        g0 = jnp.take(x, i0.reshape(-1), axis=0).reshape(
+            n, out, *x.shape[1:])
+        g1 = jnp.take(x, i1.reshape(-1), axis=0).reshape(
+            n, out, *x.shape[1:])
+        t = t[..., None]
+        v = valid[..., None, None]
+    else:
+        idx0 = i0[:, None, :, None]
+        idx1 = i1[:, None, :, None]
+        g0 = jnp.take_along_axis(x, idx0, axis=2)
+        g1 = jnp.take_along_axis(x, idx1, axis=2)
+        t = t[:, None, :, :]
+        v = valid[:, None, :, None]
+    out = g0 * (1.0 - t) + g1 * t
+    return jnp.where(v, out, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w",
                                              "spatial_scale",
                                              "sampling_ratio"))
@@ -110,6 +148,16 @@ def roi_align_single(feat: Array, boxes: Array, out_h: int, out_w: int,
     if sampling_ratio is None:
         raise ValueError("pass a static sampling_ratio (PatchFusion boxes "
                          "share one size; grid = ceil(roi/out))")
+    if int(sampling_ratio) == 1:
+        # hot path (every PatchFusion call site): 2-tap gather+lerp per
+        # axis — memory-bound VPU work instead of an O(H)-wide MXU
+        # contraction per output pixel.
+        f32 = feat.astype(jnp.float32)
+        cy, vy = _tap_coords(y1, roi_h, out_h, h)
+        rows = _lerp_axis_single(f32, cy, vy, axis_is_w=False)
+        cx, vx = _tap_coords(x1, roi_w, out_w, w)
+        out = _lerp_axis_single(rows, cx, vx, axis_is_w=True)
+        return out.astype(feat.dtype)
     gh = gw = int(sampling_ratio)
     wy = _axis_weights(y1, roi_h, out_h, gh, h)  # (N, out_h, H)
     wx = _axis_weights(x1, roi_w, out_w, gw, w)  # (N, out_w, W)
@@ -142,6 +190,19 @@ def roi_align_batched(feat: Array, boxes: Array, out_h: int, out_w: int,
     roi_h = (boxes[:, 3] - boxes[:, 1]) * spatial_scale
     if sampling_ratio is None:
         raise ValueError("pass a static sampling_ratio")
+    if int(sampling_ratio) == 1:
+        f32 = feat.astype(jnp.float32)
+        cy, vy = _tap_coords(y1, roi_h, out_h, h)
+        i0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, h - 1)
+        i1 = jnp.minimum(i0 + 1, h - 1)
+        t = (cy - i0)[:, :, None, None]
+        g0 = jnp.take_along_axis(f32, i0[:, :, None, None], axis=1)
+        g1 = jnp.take_along_axis(f32, i1[:, :, None, None], axis=1)
+        rows = jnp.where(vy[:, :, None, None],
+                         g0 * (1.0 - t) + g1 * t, 0.0)
+        cx, vx = _tap_coords(x1, roi_w, out_w, w)
+        out = _lerp_axis_single(rows, cx, vx, axis_is_w=True)
+        return out.astype(feat.dtype)
     g = int(sampling_ratio)
     wy = _axis_weights(y1, roi_h, out_h, g, h)
     wx = _axis_weights(x1, roi_w, out_w, g, w)
