@@ -50,6 +50,237 @@ class SILogLoss:
         return jnp.where(n > 1, loss, 0.0)
 
 
+def _sobel_grad_map(x: Array) -> Array:
+    """|∇| via 3x3 sobel with reflect padding (the kornia
+    spatial_gradient default the reference uses, losses.py:63-66)."""
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
+                     jnp.float32) / 8.0
+    ky = kx.T
+    xp = jnp.pad(x[..., 0], ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    patches = jax.lax.conv_general_dilated(
+        xp[:, None], jnp.stack([kx, ky])[:, None], (1, 1), "VALID")
+    gx, gy = patches[:, 0], patches[:, 1]
+    return jnp.sqrt(gx ** 2 + gy ** 2)[..., None]
+
+
+def get_incoherent_mask(gt: Array, shape=(384, 512), min_depth=1e-3,
+                        max_depth=80,
+                        coarse_prediction: Optional[Array] = None,
+                        use_grad: bool = False,
+                        use_value: bool = False) -> Array:
+    """Incoherence label maps (reference losses.py:90-149): pixels whose
+    detail is lost at `shape` resolution (|gt - up(down(gt))| >= 0.01),
+    optionally OR'd with coarse-prediction gradient/value errors; invalid
+    range -> 2, gt>10000 -> 3. gt NHWC (B,H,W,1)."""
+    ori = gt.shape[1:3]
+    gt_lr = interpolate(gt, shape, mode="bilinear", align_corners=True)
+    gt_rec = interpolate(gt_lr, ori, mode="bilinear", align_corners=True)
+    residue = jnp.abs(gt - gt_rec)
+    bad = residue >= 0.01
+    if use_grad and coarse_prediction is not None:
+        cp = interpolate(coarse_prediction, ori, mode="bilinear",
+                         align_corners=True)
+        grad_err = jnp.abs((_sobel_grad_map(gt) - _sobel_grad_map(cp)) / gt)
+        bad = bad | (grad_err > 0.001)
+    if use_value and coarse_prediction is not None:
+        cp = interpolate(coarse_prediction, ori, mode="bilinear",
+                         align_corners=True)
+        bad = bad | (jnp.abs(gt - cp) > 0.5)
+    label = jnp.where(bad, 1, 0)
+    label = jnp.where((gt <= min_depth) | (gt >= max_depth), 2, label)
+    label = jnp.where(gt > 10000, 3, label)
+    return label[..., 0].astype(jnp.int32)
+
+
+def _dice_loss(probs: Array, labels: Array, n_classes: int) -> Array:
+    """Soft dice over class probabilities (kornia.losses.dice_loss
+    equivalent): probs (B,H,W,C), labels (B,H,W) int."""
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=probs.dtype)
+    inter = jnp.sum(probs * onehot, axis=(1, 2))
+    card = jnp.sum(probs + onehot, axis=(1, 2))
+    dice = 2.0 * inter / (card + 1e-8)
+    return jnp.mean(1.0 - dice)
+
+
+def _focal_loss(probs: Array, labels: Array, n_classes: int,
+                alpha: float = 0.5, gamma: float = 2.0) -> Array:
+    """Focal loss over class probabilities (kornia.losses.focal_loss
+    equivalent with mean reduction)."""
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=probs.dtype)
+    p = jnp.clip(probs, 1e-8, 1.0)
+    w = alpha * (1.0 - p) ** gamma
+    return jnp.mean(jnp.sum(-w * onehot * jnp.log(p), axis=-1))
+
+
+@MODELS.register_module
+class EdgeClsLoss:
+    """Edge classification loss: dice + focal over predicted edge-class
+    probabilities (reference losses.py:176-197)."""
+
+    def __init__(self, focal_weight: float = 0.5, **kwargs):
+        self.focal_weight = focal_weight
+
+    def __call__(self, probs: Array, target: Array):
+        # probs (B,H,W,C); target (B,H,W) int labels
+        if probs.shape[1:3] != target.shape[1:3]:
+            probs = interpolate(probs, target.shape[1:3], mode="bilinear",
+                                align_corners=True)
+        n_classes = probs.shape[-1]
+        dice = _dice_loss(probs, target, n_classes)
+        focal = _focal_loss(probs, target, n_classes,
+                            alpha=self.focal_weight)
+        return dice, focal
+
+
+@MODELS.register_module
+class ErrorLoss:
+    """Error-region prediction loss (reference losses.py:200-236): build an
+    incoherence/error label map from GT + coarse prediction, supervise the
+    error head with dice + focal."""
+
+    def __init__(self, loss_type: str = "incoh", focal_weight: float = 0.5,
+                 **kwargs):
+        self.loss_type = loss_type
+        self.focal_weight = focal_weight
+
+    def __call__(self, probs: Array, target: Array,
+                 coarse_prediction: Array, min_depth: float,
+                 max_depth: float):
+        shape = probs.shape[1:3]
+        if probs.shape[1:3] != target.shape[1:3]:
+            probs = interpolate(probs, target.shape[1:3], mode="bilinear",
+                                align_corners=True)
+        use_grad = "grad" in self.loss_type
+        use_value = "depth" in self.loss_type
+        gt_mask = get_incoherent_mask(target, shape=shape,
+                                      min_depth=min_depth,
+                                      max_depth=max_depth,
+                                      coarse_prediction=coarse_prediction,
+                                      use_grad=use_grad,
+                                      use_value=use_value)
+        n_classes = probs.shape[-1]
+        dice = _dice_loss(probs, gt_mask, n_classes)
+        focal = _focal_loss(probs, gt_mask, n_classes,
+                            alpha=self.focal_weight)
+        return dice, focal, gt_mask
+
+
+@MODELS.register_module
+class EdgeguidedRankingLoss:
+    """Edge-guided ranking loss (reference losses.py:255-539), JAX-native:
+    sample anchor points on image edges, form 3 point pairs per anchor along
+    the edge normal, and apply a ratio-thresholded ranking loss. Sampling is
+    static-shape (fixed point_pairs with validity masking) and driven by an
+    explicit PRNG key instead of ambient torch RNG — behaviorally equivalent
+    (the loss is stochastic by construction), not bit-identical.
+    """
+
+    def __init__(self, point_pairs: int = 10000, sigma: float = 0.03,
+                 alpha: float = 1.0, mask_value: float = -1e-8,
+                 reweight_target: bool = False,
+                 only_missing_area: bool = False, min_depth: float = -1e-3,
+                 max_depth: float = 80, missing_value: float = -99,
+                 random_direct: bool = True, **kwargs):
+        self.point_pairs = point_pairs
+        self.sigma = sigma
+        self.alpha = alpha
+        self.reweight_target = reweight_target
+        self.only_missing_area = only_missing_area
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.missing_value = missing_value
+
+    def __call__(self, inputs: Array, targets: Array, images: Array,
+                 depth_gt: Array, key: Array) -> Array:
+        """inputs/targets/depth_gt (B,H,W,1); images (B,H,W,3)."""
+        hw = inputs.shape[1:3]
+        targets = interpolate(targets, hw, mode="bilinear",
+                              align_corners=True)
+        images = interpolate(images, hw, mode="bilinear",
+                             align_corners=True)
+        depth_gt = interpolate(depth_gt, hw, mode="bilinear",
+                               align_corners=True)
+        b, h, w, _ = inputs.shape
+
+        strict = (depth_gt > self.min_depth) & (depth_gt < self.max_depth)
+        strict = strict & (targets != 80)
+        if self.only_missing_area:
+            anchor_ok = depth_gt == self.missing_value
+        else:
+            edges = _sobel_grad_map(images[..., :1])
+            emax = jnp.max(edges, axis=(1, 2, 3), keepdims=True)
+            anchor_ok = (edges >= 0.1 * emax) & strict
+        gx = jax.lax.conv_general_dilated(
+            jnp.pad(images[..., 0], ((0, 0), (1, 1), (1, 1)),
+                    mode="constant")[:, None],
+            jnp.asarray([[[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]],
+                        jnp.float32)[None], (1, 1), "VALID")[:, 0]
+        gy = jax.lax.conv_general_dilated(
+            jnp.pad(images[..., 0], ((0, 0), (1, 1), (1, 1)),
+                    mode="constant")[:, None],
+            jnp.asarray([[[1, 2, 1], [0, 0, 0], [-1, -2, -1]]],
+                        jnp.float32)[None], (1, 1), "VALID")[:, 0]
+        thetas = jnp.arctan2(gy, gx)
+
+        n_s = self.point_pairs
+        keys = jax.random.split(key, 3)
+        # sample anchors: categorical over the anchor mask
+        logits = jnp.where(anchor_ok[..., 0].reshape(b, -1), 0.0, -1e9)
+        flat_idx = jax.random.categorical(keys[0], logits, axis=-1,
+                                          shape=(n_s, b)).T  # (B, n_s)
+        ah = flat_idx // w
+        aw = flat_idx % w
+        theta_a = jnp.take_along_axis(
+            thetas.reshape(b, -1), flat_idx, axis=1)
+        dist = jax.random.randint(keys[1], (4, n_s), 2, 31).astype(
+            jnp.float32)
+        sign = jnp.asarray([-1., -1., 1., 1.])[:, None]
+        dist = dist * sign
+        col = aw[:, None, :] + jnp.round(
+            dist[None] * jnp.cos(theta_a)[:, None, :]).astype(jnp.int32)
+        row = ah[:, None, :] + jnp.round(
+            dist[None] * jnp.sin(theta_a)[:, None, :]).astype(jnp.int32)
+        valid = ((col >= 0) & (col <= w - 1) & (row >= 0)
+                 & (row <= h - 1)).all(axis=1)  # (B, n_s)
+        col = jnp.clip(col, 0, w - 1)
+        row = jnp.clip(row, 0, h - 1)
+        lin = row * w + col  # (B, 4, n_s)
+
+        def gather(img):
+            flat = img.reshape(b, -1)
+            out = jnp.take_along_axis(flat, lin.reshape(b, -1), axis=1)
+            return out.reshape(b, 4, n_s)
+
+        inp = gather(inputs[..., 0])
+        tgt = gather(targets[..., 0])
+        # pairs: (p0 vs p1), (p0 vs p2), (p0 vs p3) — reference cats b,c,d
+        ia = jnp.concatenate([inp[:, 0]] * 3, axis=-1)
+        ib = jnp.concatenate([inp[:, 1], inp[:, 2], inp[:, 3]], axis=-1)
+        ta = jnp.concatenate([tgt[:, 0]] * 3, axis=-1)
+        tb = jnp.concatenate([tgt[:, 1], tgt[:, 2], tgt[:, 3]], axis=-1)
+        vm = jnp.concatenate([valid] * 3, axis=-1).astype(jnp.float32)
+
+        ratio = (ta + 1e-6) / (tb + 1e-6)
+        weight = jnp.abs(ta - tb) / (
+            jnp.max(jnp.abs(ta - tb), axis=-1, keepdims=True) + 1e-6)
+        weight = jnp.exp(weight)
+        eq = (ratio < 1.0 + self.sigma) & (ratio > 1.0 / (1.0 + self.sigma))
+        labels = jnp.where(ratio >= 1.0 + self.sigma, 1.0,
+                           jnp.where(ratio <= 1.0 / (1.0 + self.sigma),
+                                     -1.0, 0.0))
+        if self.reweight_target:
+            equal_loss = (ia - ib) ** 2 * eq
+            unequal_loss = jnp.log1p(
+                jnp.exp((-ia + ib) / weight * labels)) * (~eq)
+        else:
+            equal_loss = (ia - ib) ** 2 / weight * eq
+            unequal_loss = jnp.log1p(jnp.exp((-ia + ib) * labels)) * (~eq)
+        denom = jnp.maximum(vm.sum(axis=-1), 1.0)
+        per_img = (self.alpha * (equal_loss * vm).sum(-1) / denom
+                   + (unequal_loss * vm).sum(-1) / denom)
+        return jnp.mean(per_img)
+
+
 @MODELS.register_module
 class ScaleAndShiftInvariantLoss:
     """reference losses.py:565-592: align pred to gt with least-squares
