@@ -106,12 +106,8 @@ class HostResizer:
         oh, ow = self.get_size(h, w)
         if (oh, ow) == (h, w):
             return image.astype(np.float32)
-        wh = resize_matrix(oh, h, "bilinear", align_corners=True)
-        ww = resize_matrix(ow, w, "bilinear", align_corners=True)
-        x = image.astype(np.float32)
-        if x.ndim == 2:
-            return wh @ x @ ww.T
-        return np.einsum("ph,hwc,qw->pqc", wh, x, ww)
+        from patchfusion_tpu.data import native
+        return native.resize_bilinear_ac(image.astype(np.float32), oh, ow)
 
 
 def make_resizer(resize_mode: str, network_process_size: Sequence[int]

@@ -80,20 +80,24 @@ class UnrealStereo4kDataset:
         return len(self.data_infos)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        from patchfusion_tpu.data import native
+
         info = self.data_infos[idx]
-        image = np.fromfile(info["img_path"], dtype=np.uint8)
-        image = image.reshape(2160, 3840, 3)
         disp_gt = np.load(info["depth_map_path"], mmap_mode="c")
         disp_gt = np.asarray(disp_gt, np.float32)
         depth_gt = info["depth_factor"] / disp_gt
 
         if self.mode == "train":
+            image = np.fromfile(info["img_path"], dtype=np.uint8)
+            image = image.reshape(2160, 3840, 3)
             image, (depth_gt, disp_gt) = aug_rotate(
                 image, [depth_gt, disp_gt],
                 self.transform_cfg.get("degree", 1.0), self.rng)
-
-        # BGR raw -> RGB float [0,1] (u4k:126-129)
-        image = image.astype(np.float32)[:, :, ::-1] / 255.0
+            # BGR raw -> RGB float [0,1] (u4k:126-129), native decode
+            image = native.decode_bgr_u8(np.ascontiguousarray(image))
+        else:
+            # fused native read+decode
+            image = native.load_raw_bgr(info["img_path"], 2160, 3840)
 
         if self.mode == "train":
             image = aug_color(image, self.rng)
