@@ -37,7 +37,9 @@ def save_checkpoint(path: str, state, epoch: int,
         "epoch": epoch,
         "trainable": _to_numpy_tree(state.trainable),
         "batch_stats": _to_numpy_tree(state.batch_stats),
-        "opt_state": _to_numpy_tree(state.opt_state),
+        # optax states are nested NamedTuples; flatten to a pure state dict
+        "opt_state": serialization.to_state_dict(
+            _to_numpy_tree(state.opt_state)),
         "step": int(state.step),
     }
     if not fusion_only:
@@ -53,6 +55,13 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     from flax import serialization
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def restore_opt_state(template, blob_opt_state):
+    """Rebuild the optax NamedTuple state from its serialized state dict
+    using a freshly-initialized state as the structure template."""
+    from flax import serialization
+    return serialization.from_state_dict(template, blob_opt_state)
 
 
 def save_params(path: str, params, batch_stats=None) -> None:

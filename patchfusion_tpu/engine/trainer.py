@@ -96,6 +96,24 @@ class Trainer:
                     self.wandb.log({"Train/total_loss": loss,
                                     "epoch": epoch})
 
+    def log_images(self, batch: Dict[str, Any], pred, epoch: int,
+                   prefix: str = "Train") -> None:
+        """Colorized depth/GT/RGB panels (reference trainer.py:55-125)."""
+        if self.wandb is None:
+            return
+        from patchfusion_tpu.utils.colorize import colorize
+        rgb = np.asarray(batch.get("crops_image_hr",
+                                   batch.get("image_lr")))[0]
+        panels = {f"{prefix}/rgb": self.wandb.Image(rgb)}
+        if pred is not None:
+            panels[f"{prefix}/depth_pred"] = self.wandb.Image(
+                colorize(np.asarray(pred)[0, ..., 0]))
+        gt = batch.get("crop_depths", batch.get("depth_gt"))
+        if gt is not None:
+            panels[f"{prefix}/depth_gt"] = self.wandb.Image(
+                colorize(np.asarray(gt)[0, ..., 0]))
+        self.wandb.log(panels)
+
     def val_epoch(self, epoch: int) -> Optional[Dict[str, float]]:
         """Validation (reference trainer.py:137-216): per-image inference +
         metric gather across processes."""

@@ -121,14 +121,15 @@ def main():
     state = create_train_state(variables["params"],
                                variables.get("batch_stats", {}), tx)
     if args.resume and args.ckp_path and args.ckp_path.endswith(".ckpt"):
-        from patchfusion_tpu.engine.checkpoint import load_checkpoint
+        from patchfusion_tpu.engine.checkpoint import (load_checkpoint,
+                                                       restore_opt_state)
         blob = load_checkpoint(args.ckp_path)
         state = state._replace(
             step=jnp.asarray(blob["step"]),
             trainable=blob["trainable"],
             batch_stats=blob["batch_stats"],
-            opt_state=jax.tree.map(
-                lambda a, b: b, state.opt_state, blob["opt_state"]))
+            opt_state=restore_opt_state(state.opt_state,
+                                        blob["opt_state"]))
         logger.info("resumed from %s (epoch %s)", args.ckp_path,
                     blob.get("epoch"))
 
