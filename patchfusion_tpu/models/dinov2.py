@@ -53,12 +53,36 @@ class Mlp(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
-class Attention(nn.Module):
-    """Multi-head self-attention over (B, N, D) tokens.
+def fused_attention(q: Array, k: Array, v: Array) -> Array:
+    """(B, N, H, Dh) self-attention, dtype-aware.
 
-    Uses jax.nn.dot_product_attention so XLA emits fused (flash) attention on
-    TPU — the idiomatic stand-in for xformers memory_efficient_attention.
+    bf16 path (TPU inference): custom einsum attention with bf16 probability
+    matrices — the XLA builtin upcasts the N x N logits AND probs to f32,
+    doubling the HBM traffic of the memory-bound softmax stage; keeping
+    probs in bf16 (f32 logits/normalizer for stability) is measurably
+    faster at ViT shapes. (The Pallas flash kernel was benchmarked too but
+    loses at d_head=64/seq~1k — it is tuned for LLM shapes.)
+    f32 path: XLA dot_product_attention (exact parity with the reference's
+    dense attention, dinov2/layers/attention.py:48-61).
     """
+    if q.dtype != jnp.bfloat16:
+        return jax.nn.dot_product_attention(q, k, v)
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m).astype(jnp.bfloat16)
+    s = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                   preferred_element_type=jnp.float32)
+    o = o / jnp.swapaxes(s, 1, 2)
+    return o.astype(q.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention over (B, N, D) tokens (fused kernel on
+    TPU, see fused_attention)."""
     num_heads: int
     dtype: Any = jnp.float32
 
@@ -69,7 +93,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        o = jax.nn.dot_product_attention(q, k, v)
+        o = fused_attention(q, k, v)
         o = o.reshape(b, n, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(o)
 

@@ -162,14 +162,20 @@ def _tap_plan(out_size: int, in_size: int, mode: str, align_corners: bool,
 
 def _resize_axis(x: Array, axis: int, taps: np.ndarray,
                  weights: np.ndarray) -> Array:
-    """Gather the k taps along `axis` and combine with static weights."""
+    """Gather the k taps along `axis` and combine with static weights.
+
+    Math runs in the array's own dtype: f32 inputs get exact PyTorch-parity
+    arithmetic; bf16 activations stay bf16 (half the HBM traffic — resize is
+    memory-bound), consistent with the surrounding network's compute dtype.
+    """
     k = taps.shape[1]
     shape = [1] * x.ndim
     shape[axis] = weights.shape[0]
+    wdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     acc = None
     for j in range(k):
         g = jnp.take(x, jnp.asarray(taps[:, j]), axis=axis)
-        w = jnp.asarray(weights[:, j]).reshape(shape)
+        w = jnp.asarray(weights[:, j], wdt).reshape(shape)
         term = g * w
         acc = term if acc is None else acc + term
     return acc
@@ -201,7 +207,7 @@ def interpolate(x: Array, size: Tuple[int, int], mode: str = "bilinear",
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     out_h, out_w = size
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
     if out_h != in_h or scale is not None:
         th, wh = _tap_plan(out_h, in_h, mode, align_corners,
                            None if scale is None else scale[0])

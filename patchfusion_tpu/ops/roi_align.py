@@ -151,8 +151,9 @@ def roi_align_single(feat: Array, boxes: Array, out_h: int, out_w: int,
     if int(sampling_ratio) == 1:
         # hot path (every PatchFusion call site): 2-tap gather+lerp per
         # axis — memory-bound VPU work instead of an O(H)-wide MXU
-        # contraction per output pixel.
-        f32 = feat.astype(jnp.float32)
+        # contraction per output pixel. bf16 activations stay bf16.
+        f32 = feat if feat.dtype == jnp.bfloat16 else \
+            feat.astype(jnp.float32)
         cy, vy = _tap_coords(y1, roi_h, out_h, h)
         rows = _lerp_axis_single(f32, cy, vy, axis_is_w=False)
         cx, vx = _tap_coords(x1, roi_w, out_w, w)
@@ -191,7 +192,8 @@ def roi_align_batched(feat: Array, boxes: Array, out_h: int, out_w: int,
     if sampling_ratio is None:
         raise ValueError("pass a static sampling_ratio")
     if int(sampling_ratio) == 1:
-        f32 = feat.astype(jnp.float32)
+        f32 = feat if feat.dtype == jnp.bfloat16 else \
+            feat.astype(jnp.float32)
         cy, vy = _tap_coords(y1, roi_h, out_h, h)
         i0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, h - 1)
         i1 = jnp.minimum(i0 + 1, h - 1)
