@@ -199,19 +199,28 @@ class ConditionalLogBinomial(nn.Module):
     p_eps: float = 1e-4
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array, cond: Array) -> Array:
-        h = jnp.concatenate([x, cond], axis=-1)
+    def setup(self):
         bottleneck = (self.in_features + self.condition_dim) \
             // self.bottleneck_factor
-        h = nn.Conv(bottleneck, (1, 1), dtype=self.dtype, name="mlp_0")(h)
+        self.mlp_0 = nn.Conv(bottleneck, (1, 1), dtype=self.dtype)
+        self.mlp_2 = nn.Conv(4, (1, 1), dtype=self.dtype)
+
+    def params_pt(self, x: Array, cond: Array) -> Tuple[Array, Array]:
+        """(p, t_norm) per pixel, both (B, H, W), t_norm pre temp-scaling —
+        the inputs of the fused log-binomial kernel (ops/pallas_head.py)."""
+        h = jnp.concatenate([x, cond], axis=-1)
+        h = self.mlp_0(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Conv(4, (1, 1), dtype=self.dtype, name="mlp_2")(h)
-        pt = jax.nn.softplus(h)
+        h = self.mlp_2(h)
+        pt = jax.nn.softplus(h.astype(jnp.float32))
         p = pt[..., :2] + self.p_eps
         p = p[..., 0] / (p[..., 0] + p[..., 1])
         t = pt[..., 2:] + self.p_eps
         t = t[..., 0] / (t[..., 0] + t[..., 1])
+        return p, t
+
+    def __call__(self, x: Array, cond: Array) -> Array:
+        p, t = self.params_pt(x, cond)
         t = (self.max_temp - self.min_temp) * t + self.min_temp
 
         # log binomial over K classes with Stirling log-nCk
@@ -259,6 +268,7 @@ class MetricBinsHead(nn.Module):
     min_temp: float
     max_temp: float
     last_in: int = N_MIDAS_OUT + 1
+    fused: bool = True  # fused pallas log-binomial stage on TPU
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -313,10 +323,26 @@ class MetricBinsHead(nn.Module):
                                    axis=-1)
         b_embedding = interpolate(b_embedding, last.shape[1:3],
                                   mode="bilinear", align_corners=True)
-        probs = ConditionalLogBinomial(
+        clb = ConditionalLogBinomial(
             self.last_in, self.bin_embedding_dim, self.n_bins,
             self.min_temp, self.max_temp, dtype=self.dtype,
-            name="conditional_log_binomial")(last_cat, b_embedding)
+            name="conditional_log_binomial")
+
+        oh, ow = last.shape[1], last.shape[2]
+        from patchfusion_tpu.ops.pallas_head import (logbinomial_depth,
+                                                     pick_block_rows)
+        br = pick_block_rows(oh)
+        if self.fused and br and jax.default_backend() == "tpu":
+            # fused pallas stage: centers upsample + log-binomial softmax +
+            # expectation in one HBM pass (ops/pallas_head.py)
+            p, tn = clb.params_pt(last_cat, b_embedding)
+            depth = logbinomial_depth(p, tn, b_centers, self.min_temp,
+                                      self.max_temp,
+                                      block_rows=br)[..., None]
+            return {"metric_depth": depth, "bin_centers": b_centers,
+                    "b_embedding": b_embedding, "probs": None}
+
+        probs = clb(last_cat, b_embedding)
         b_centers = interpolate(b_centers, probs.shape[1:3], mode="bilinear",
                                 align_corners=True)
         depth = jnp.sum(probs * b_centers, axis=-1, keepdims=True)
