@@ -110,8 +110,33 @@ class PatchFusionInference:
 
     # -- internals -----------------------------------------------------------
 
+    def _grid_rois(self, feats, oh_raw, ow_raw):
+        """Static-grid roi_align for a regular pass: the tiles' sample
+        positions form one uniform grid, so each level is a static-tap
+        gather+lerp over the whole feature (no dynamic-gather penalty).
+        Numerically identical to the dynamic per-box path."""
+        from patchfusion_tpu.ops.roi_align import (grid_axis_plan,
+                                                   roi_align_grid)
+        tc = self.tile_cfg
+        fy = np.float32(tc.patch_process_shape[0] / tc.image_raw_shape[0])
+        fx = np.float32(tc.patch_process_shape[1] / tc.image_raw_shape[1])
+        outs = []
+        for f in feats:
+            h, w = f.shape[-3], f.shape[-2]
+            ss = np.float32(h / tc.patch_process_shape[0])
+            oy = [np.float32(np.float32(y) * fy) * ss for y in oh_raw]
+            ox = [np.float32(np.float32(x) * fx) * ss for x in ow_raw]
+            ey = np.float32(tc.patch_raw_shape[0]) * fy * ss
+            ex = np.float32(tc.patch_raw_shape[1]) * fx * ss
+            plan_y = grid_axis_plan(oy, ey, h, h)
+            plan_x = grid_axis_plan(ox, ex, w, w)
+            outs.append(roi_align_grid(f, plan_y, plan_x, len(oh_raw),
+                                       len(ow_raw), h, w))
+        return outs
+
     def _tile_batch(self, variables, image_hr, origins_raw: Array,
-                    boxes_process: Array, coarse_ctx) -> Array:
+                    boxes_process: Array, coarse_ctx,
+                    static_grid=None) -> Array:
         """Run fine(+fusion) on all tiles of a pass -> (N, ph, pw)."""
         tc = self.tile_cfg
         crops = crop_resize_tiles(image_hr, origins_raw, tc.patch_raw_shape,
@@ -126,9 +151,15 @@ class PatchFusionInference:
             return _chunked(run, [crops], self.process_num)
 
         coarse_depth, coarse_feats, g2l_feats = coarse_ctx
-        depth_roi, feat_rois, g2l_rois = self.net.apply(
-            variables, coarse_depth, coarse_feats, g2l_feats, boxes_process,
-            method=PatchFusionNet.coarse_postprocess)
+        if static_grid is not None:
+            oh_raw, ow_raw = static_grid
+            depth_roi = self._grid_rois([coarse_depth], oh_raw, ow_raw)[0]
+            feat_rois = self._grid_rois(coarse_feats, oh_raw, ow_raw)
+            g2l_rois = self._grid_rois(g2l_feats, oh_raw, ow_raw)
+        else:
+            depth_roi, feat_rois, g2l_rois = self.net.apply(
+                variables, coarse_depth, coarse_feats, g2l_feats,
+                boxes_process, method=PatchFusionNet.coarse_postprocess)
 
         def run(crop_chunk, droi_chunk, *roi_chunks):
             frois = list(roi_chunks[:6])
@@ -179,7 +210,8 @@ class PatchFusionInference:
                                    np.int32)
                 tiles = self._tile_batch(variables, image_hr,
                                          jnp.asarray(origins), boxes_p,
-                                         coarse_ctx)
+                                         coarse_ctx,
+                                         static_grid=(oh, ow))
                 num = paste_grid(tiles * blur, poh, pow_,
                                  tc.patch_reensemble_shape)
                 den = paste_grid(jnp.broadcast_to(

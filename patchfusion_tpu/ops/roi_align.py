@@ -218,3 +218,64 @@ def roi_align_batched(feat: Array, boxes: Array, out_h: int, out_w: int,
 def adaptive_sampling_ratio(patch_extent_feat: float, out_size: int) -> int:
     """torchvision's adaptive grid count for a known static ROI extent."""
     return _grid_count(patch_extent_feat, out_size)
+
+
+# ---------------------------------------------------------------------------
+# Static-grid specialization (regular tile passes)
+# ---------------------------------------------------------------------------
+
+def grid_axis_plan(origins, extent: float, out: int, in_size: int):
+    """Static 2-tap plan for a regular pass along one axis.
+
+    For regular tile grids the ROI sample positions of ALL tiles form one
+    uniform grid over the whole feature map, so roi_align collapses to a
+    static-index gather+lerp (XLA lowers constant-index gathers to cheap
+    slices — no dynamic-gather penalty). Arithmetic mirrors _tap_coords in
+    float32 so results match the dynamic path bit-for-bit.
+
+    Args:
+      origins: static per-tile start coordinates in feature space
+        (origin_raw * raw_to_process * spatial_scale), Python floats.
+      extent: static ROI extent in feature coords.
+      out: output bins per tile.
+    Returns: (i0 (T*out,), i1, w (T*out,) f32) numpy arrays.
+    """
+    coords = []
+    s = np.arange(out, dtype=np.float32)
+    for o in origins:
+        start = np.float32(o) - np.float32(0.5)
+        coords.append(start + (s + np.float32(0.5))
+                      * (np.float32(extent) / np.float32(out)))
+    c = np.concatenate(coords)
+    c = np.clip(c, 0.0, in_size - 1)
+    i0 = np.clip(np.floor(c).astype(np.int32), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w = (c - i0).astype(np.float32)
+    return i0, i1, w
+
+
+def roi_align_grid(feat: Array, plan_y, plan_x, n_y: int, n_x: int,
+                   out_h: int, out_w: int) -> Array:
+    """roi_align for a regular pass with static tap plans.
+
+    feat: (H, W, C) or (1, H, W, C). Returns (n_y*n_x, out_h, out_w, C) in
+    row-major tile order (matching the reference's nested h/w loop)."""
+    if feat.ndim == 4:
+        feat = feat[0]
+    work = feat if feat.dtype == jnp.bfloat16 else feat.astype(jnp.float32)
+    i0y, i1y, wy = plan_y
+    i0x, i1x, wx = plan_x
+    wdt = work.dtype
+    rows = (jnp.take(work, jnp.asarray(i0y), axis=0)
+            * jnp.asarray(1.0 - wy, wdt)[:, None, None]
+            + jnp.take(work, jnp.asarray(i1y), axis=0)
+            * jnp.asarray(wy, wdt)[:, None, None])
+    cols = (jnp.take(rows, jnp.asarray(i0x), axis=1)
+            * jnp.asarray(1.0 - wx, wdt)[None, :, None]
+            + jnp.take(rows, jnp.asarray(i1x), axis=1)
+            * jnp.asarray(wx, wdt)[None, :, None])
+    c = cols.shape[-1]
+    tiles = cols.reshape(n_y, out_h, n_x, out_w, c)
+    tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(n_y * n_x, out_h, out_w,
+                                                   c)
+    return tiles.astype(feat.dtype)
