@@ -145,6 +145,93 @@ class PatchFusion:
                                    "depth_pred": depth[None, None]}
 
 
+class BaselinePretrain:
+    """Coarse-only / fine-only model API (reference estimator/models/
+    baseline_pretrain.py BaselinePretrain, target='coarse'|'fine'): stage-1/2
+    of the training recipe and their eval paths.
+
+    coarse: one whole-image pass at process resolution;
+    fine:   the full tiling machinery with fusion disabled
+            (reference bp:364-419)."""
+
+    def __init__(self, branch_cfg: Dict[str, Any], min_depth: float,
+                 max_depth: float, target: str = "coarse",
+                 image_raw_shape=(2160, 3840), patch_split_num=(4, 4),
+                 patch_process_shape=(384, 512), dtype=jnp.float32,
+                 seed: int = 0, params=None):
+        from patchfusion_tpu.models.builder import build_zoedepth_branch
+        import jax
+
+        self.target = target
+        self.net = build_zoedepth_branch(branch_cfg, min_depth, max_depth,
+                                         dtype=dtype)
+        self.tile_cfg = TileConfig(tuple(image_raw_shape),
+                                   tuple(patch_split_num),
+                                   tuple(patch_process_shape))
+        pph, ppw = patch_process_shape
+        if params is None:
+            params = self.net.init(jax.random.PRNGKey(seed),
+                                   jnp.zeros((1, pph, ppw, 3)))["params"]
+        self.params = params
+        multiple = 14 if branch_cfg.get("type",
+                                        "DA-ZoeDepth") == "DA-ZoeDepth" \
+            else 32
+        self.resizer = NetResizer(ppw, pph, keep_aspect_ratio=False,
+                                  ensure_multiple_of=multiple,
+                                  resize_method="minimal")
+        self._coarse_fn = None
+        self._fine_engine = None
+
+    @classmethod
+    def from_torch(cls, branch_cfg, min_depth, max_depth, ckpt_path: str,
+                   **kw):
+        """Load a reference branch checkpoint (.pth, strict — reference
+        baseline_pretrain.py:121-127 load_dict)."""
+        from patchfusion_tpu.convert.torch2jax import zoedepth_params
+        from patchfusion_tpu.engine.checkpoint import load_torch_state_dict
+        from patchfusion_tpu.models.dinov2 import VIT_CONFIGS
+        sd = load_torch_state_dict(ckpt_path)
+        depth = VIT_CONFIGS[branch_cfg["midas_model_type"]]["depth"]
+        params = zoedepth_params(sd, depth)
+        return cls(branch_cfg, min_depth, max_depth, params=params, **kw)
+
+    def infer(self, image_lr=None, image_hr=None, cai_mode: str = "m1",
+              process_num: int = 4,
+              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        import jax
+
+        if self.target == "coarse":
+            if self._coarse_fn is None:
+                net = self.net
+                self._coarse_fn = jax.jit(
+                    lambda p, x: net.apply({"params": p}, x)["metric_depth"])
+            return np.asarray(self._coarse_fn(self.params,
+                                              image_lr))[0, ..., 0]
+        # fine: tiled inference without fusion
+        if self._fine_engine is None:
+            from patchfusion_tpu.models.patchfusion import PatchFusionNet
+
+            class _FineOnly:
+                """Adapter giving the engine a fine_forward."""
+
+                def __init__(self, net):
+                    self.net = net
+
+                def apply(self, variables, *args, method=None, **kw):
+                    out = self.net.apply(variables, *args, **kw)
+                    feats = [out["temp_features"][k] for k in (
+                        "x_d0", "x_blocks_feat_0", "x_blocks_feat_1",
+                        "x_blocks_feat_2", "x_blocks_feat_3",
+                        "midas_final_feat")]
+                    return out["metric_depth"], feats
+
+            self._fine_engine = PatchFusionInference(
+                _FineOnly(self.net), {"params": self.params}, self.tile_cfg,
+                process_num=process_num, fusion=False)
+        return np.asarray(self._fine_engine.infer(
+            image_lr, image_hr, cai_mode=cai_mode, rng=rng))
+
+
 def _to_nhwc(x):
     x = np.asarray(x)
     if x.ndim == 4 and x.shape[1] == 3:
