@@ -332,7 +332,11 @@ class MetricBinsHead(nn.Module):
         from patchfusion_tpu.ops.pallas_head import (logbinomial_depth,
                                                      pick_block_rows)
         br = pick_block_rows(oh)
-        if self.fused and br and jax.default_backend() == "tpu":
+        if self.fused and br and jax.default_backend() == "tpu" \
+                and self.dtype == jnp.bfloat16:
+            # bf16-only: the kernel's MXU lerp runs in bf16 passes, which is
+            # the right precision for the bf16 inference path but would
+            # degrade a full-f32 run (f32 runs keep the exact unfused path)
             # fused pallas stage: centers upsample + log-binomial softmax +
             # expectation in one HBM pass (ops/pallas_head.py)
             p, tn = clb.params_pt(last_cat, b_embedding)

@@ -48,9 +48,11 @@ def _log_binom_coeffs(k: int) -> np.ndarray:
             ).astype(np.float32)
 
 
-def pick_block_rows(out_h: int, max_rows: int = 32) -> int:
-    """Largest divisor of out_h <= max_rows (0 if only 1 divides)."""
-    for d in range(max_rows, 1, -1):
+def pick_block_rows(out_h: int, max_rows: int = 16) -> int:
+    """Largest divisor of out_h that is a multiple of 8 and <= max_rows
+    (Mosaic requires the block's second-minor dim divisible by 8); 0 if
+    none exists."""
+    for d in range(max_rows - max_rows % 8, 7, -8):
         if out_h % d == 0:
             return d
     return 0
@@ -81,37 +83,58 @@ def logbinomial_depth(p: Array, t: Array, centers: Array,
     """
     b, oh, ow = p.shape
     _, ih, iw, k = centers.shape
-    assert oh % block_rows == 0, (oh, block_rows)
+    assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)
 
     i0_np, th_np = _h_taps(oh, ih)
     ww_np = resize_matrix(ow, iw, "bilinear", align_corners=True)  # (OW, IW)
-    c0_np = _log_binom_coeffs(k)
-    karr_np = np.arange(k, dtype=np.float32)
+    c0_np = _log_binom_coeffs(k)[None]          # (1, K)
+    karr_np = np.arange(k, dtype=np.float32)[None]
+
+    # Mosaic DMA slices must be lane-aligned: pad the bin axis to 128 with
+    # -inf logit coefficients (their softmax weight is exactly 0).
+    k_real = float(k - 1)
+    if k % 128 != 0:
+        kp = -(-k // 128) * 128
+        centers = jnp.pad(centers, [(0, 0)] * 3 + [(0, kp - k)])
+        c0_np = np.pad(c0_np, [(0, 0), (0, kp - k)],
+                       constant_values=-1e30)
+        karr_np = np.pad(karr_np, [(0, 0), (0, kp - k)])
+        k = kp
 
     n_chunks = oh // block_rows
+    # max src rows any output chunk touches (+1 tap, +1 slack)
+    span = int(np.ceil(block_rows * ih / oh)) + 2
+    span = min(span + (-span) % 8, ih)  # sublane-align the DMA
 
-    def kernel(p_ref, t_ref, centers_ref, i0_ref, th_ref, ww_ref, c0_ref,
-               karr_ref, out_ref):
+    def kernel(i0_ref, th_ref, p_ref, t_ref, centers_ref, ww_ref, c0_ref,
+               karr_ref, out_ref, src_ref, rows_ref, sem):
+        bi = pl.program_id(0)
         r0 = pl.program_id(1) * block_rows
+        base = jnp.minimum(i0_ref[r0], ih - span)
+        # DMA only the needed source rows HBM -> VMEM (whole centers map
+        # would not fit double-buffered in VMEM)
+        cp = pltpu.make_async_copy(
+            centers_ref.at[bi, pl.ds(base, span)], src_ref, sem)
+        cp.start()
+        cp.wait()
 
-        def h_row(i, acc):
-            idx = i0_ref[r0 + i]
+        def h_row(i, _):
+            idx = i0_ref[r0 + i] - base
             w1 = th_ref[r0 + i]
-            row0 = centers_ref[0, idx]          # (IW, K)
-            row1 = centers_ref[0, jnp.minimum(idx + 1, ih - 1)]
-            acc = jax.lax.dynamic_update_slice(
-                acc, (row0 * (1.0 - w1) + row1 * w1)[None], (i, 0, 0))
-            return acc
+            row0 = src_ref[idx].astype(jnp.float32)          # (IW, K)
+            row1 = src_ref[jnp.minimum(idx + 1, span - 1)].astype(
+                jnp.float32)
+            rows_ref[i] = row0 * (1.0 - w1) + row1 * w1
+            return 0
 
-        rows = jax.lax.fori_loop(
-            0, block_rows, h_row,
-            jnp.zeros((block_rows, iw, k), jnp.float32))
+        jax.lax.fori_loop(0, block_rows, h_row, 0)
+        rows = rows_ref[...]
         # W-axis lerp as a banded-matrix contraction on the MXU:
-        # (BH, IW, K) x (OW, IW) -> (BH, OW, K)
+        # (BH, IW, K) x (OW, IW) -> (BH, K, OW)
         cent = jax.lax.dot_general(
             rows, ww_ref[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (BH, K, OW)
+            preferred_element_type=jnp.float32)
         cent = jnp.swapaxes(cent, 1, 2)  # (BH, OW, K)
 
         pv = p_ref[0]                                    # (BH, OW)
@@ -119,37 +142,45 @@ def logbinomial_depth(p: Array, t: Array, centers: Array,
         eps = 1e-4
         pc = jnp.clip(pv, eps, 1.0)[..., None]
         omp = jnp.clip(1.0 - pc, eps, 1.0)
-        kk = karr_ref[...]
-        y = (c0_ref[...] + kk * jnp.log(pc)
-             + (float(k - 1) - kk) * jnp.log(omp)) / tv[..., None]
+        kk = karr_ref[0]
+        y = (c0_ref[0] + kk * jnp.log(pc)
+             + (k_real - kk) * jnp.log(omp)) / tv[..., None]
         y = y - jnp.max(y, axis=-1, keepdims=True)
         e = jnp.exp(y)
         out_ref[0] = jnp.sum(e * cent, axis=-1) / jnp.sum(e, axis=-1)
 
-    grid = (b, n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # i0 taps + th weights land in SMEM
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, ow), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, ow), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
+            pl.BlockSpec((ow, iw), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, ow),
+                               lambda i, j, *_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((span, iw, k), centers.dtype),
+            pltpu.VMEM((block_rows, iw, k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_rows, ow), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows, ow), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ih, iw, k), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # i0 taps
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # th weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ww matrix
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # c0
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # karr
-        ],
-        out_specs=pl.BlockSpec((1, block_rows, ow), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
-    )(p.astype(jnp.float32), t.astype(jnp.float32),
-      centers.astype(jnp.float32), jnp.asarray(i0_np),
-      jnp.asarray(th_np), jnp.asarray(ww_np), jnp.asarray(c0_np),
-      jnp.asarray(karr_np))
+    )(jnp.asarray(i0_np), jnp.asarray(th_np),
+      p.astype(jnp.float32), t.astype(jnp.float32), centers,
+      jnp.asarray(ww_np), jnp.asarray(c0_np), jnp.asarray(karr_np))
     return out
 
 

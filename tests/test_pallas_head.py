@@ -29,6 +29,6 @@ def test_logbinomial_depth_matches_reference(rng, monkeypatch):
 
     monkeypatch.setattr(pl, "pallas_call", interp_call)
     out = np.asarray(pallas_head.logbinomial_depth(
-        p, t, centers, block_rows=28))
+        p, t, centers, block_rows=8))
     assert out.shape == golden.shape
     np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
