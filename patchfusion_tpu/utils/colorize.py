@@ -42,6 +42,46 @@ def colorize(value, vmin: Optional[float] = None,
     return img
 
 
+def colorize_infer_pfv1(value, cmap: str = "magma_r",
+                        vmin: Optional[float] = None,
+                        vmax: Optional[float] = None) -> np.ndarray:
+    """Simple min-max colorization (reference color.py:8-25)."""
+    import matplotlib
+
+    value = np.asarray(value, np.float64).squeeze()
+    vmin = value.min() if vmin is None else vmin
+    vmax = value.max() if vmax is None else vmax
+    if vmin != vmax:
+        value = (value - vmin) / (vmax - vmin)
+    else:
+        value = value * 0.0
+    cmapper = matplotlib.colormaps.get_cmap(cmap)
+    return cmapper(value, bytes=True)
+
+
+def colorize_rescale(value, vmin: Optional[float] = None,
+                     vmax: Optional[float] = None, cmap: str = "turbo_r",
+                     vminp: float = 2, vmaxp: float = 95,
+                     rescale_vmin: Optional[float] = None,
+                     rescale_vmax: Optional[float] = None) -> np.ndarray:
+    """Percentile colorization against an external reference range
+    (reference color.py:28-93, used to render side-by-side panels with a
+    shared scale)."""
+    import matplotlib
+
+    value = np.asarray(value, np.float64).squeeze()
+    vmin = np.percentile(value, vminp) if vmin is None else vmin
+    vmax = np.percentile(value, vmaxp) if vmax is None else vmax
+    if rescale_vmin is not None and rescale_vmax is not None:
+        vmin, vmax = rescale_vmin, rescale_vmax
+    if vmin != vmax:
+        value = np.clip((value - vmin) / (vmax - vmin), 0, 1)
+    else:
+        value = value * 0.0
+    cmapper = matplotlib.colormaps.get_cmap(cmap)
+    return cmapper(value, bytes=True)
+
+
 def save_depth_png(depth: np.ndarray, path_color: str,
                    path_uint16: Optional[str] = None,
                    gray_scale: bool = False) -> None:
