@@ -64,7 +64,13 @@ class Trainer:
             except ImportError:
                 self.logger.warning("wandb unavailable; logging to console")
 
-        self.mesh = make_mesh(axis="data")
+        # the global batch must divide over the data axis; drop to the
+        # largest usable device count otherwise
+        ndev = len(jax.devices())
+        batch = getattr(train_loader, "batch_size", 1) * jax.process_count()
+        while ndev > 1 and batch % ndev != 0:
+            ndev -= 1
+        self.mesh = make_mesh(jax.devices()[:ndev], axis="data")
         self.data_sharding = NamedSharding(self.mesh, P("data"))
         self.repl = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, self.repl)
