@@ -98,6 +98,32 @@ class PatchFusion:
         variables = {"params": params, "batch_stats": stats}
         return cls(net, tile_cfg, variables, config)
 
+    # -- persistence (reference load_dict/get_save_dict semantics) -----------
+
+    def get_save_dict(self):
+        """Fusion-only weight tree (the reference strips the frozen
+        branches, patchfusion.py:179-187)."""
+        params = {k: v for k, v in self.variables["params"].items()
+                  if k not in ("coarse_branch", "fine_branch")}
+        return {"params": params,
+                "batch_stats": self.variables.get("batch_stats", {})}
+
+    def save(self, path: str) -> None:
+        from patchfusion_tpu.engine.checkpoint import save_params
+        d = self.get_save_dict()
+        save_params(path, d["params"], d["batch_stats"])
+
+    def load_dict(self, path: str) -> None:
+        """Merge a fusion-only weights file over current variables
+        (strict=False semantics)."""
+        from patchfusion_tpu.engine.checkpoint import load_params
+        blob = load_params(path)
+        self.variables["params"].update(blob["params"])
+        if blob.get("batch_stats"):
+            self.variables.setdefault("batch_stats", {}).update(
+                blob["batch_stats"])
+        self._engines.clear()
+
     # -- inference -------------------------------------------------------------
 
     def engine(self, process_num: Optional[int] = None,
@@ -227,7 +253,8 @@ class BaselinePretrain:
 
             self._fine_engine = PatchFusionInference(
                 _FineOnly(self.net), {"params": self.params}, self.tile_cfg,
-                process_num=process_num, fusion=False)
+                process_num=process_num, fusion=False,
+                rn_times_process_num=True)
         return np.asarray(self._fine_engine.infer(
             image_lr, image_hr, cai_mode=cai_mode, rng=rng))
 

@@ -83,7 +83,8 @@ class PatchFusionInference:
 
     def __init__(self, net: PatchFusionNet, variables: Dict[str, Any],
                  tile_cfg: TileConfig, process_num: Optional[int] = 4,
-                 fusion: bool = True, mesh=None, patch_axis: str = "patch"):
+                 fusion: bool = True, mesh=None, patch_axis: str = "patch",
+                 rn_times_process_num: bool = False):
         """mesh: optional jax.sharding.Mesh with a `patch_axis` — the tile
         batch of every pass is sharded over it (ICI tile parallelism, the
         multi-chip replacement for the reference's process_num chunk loop).
@@ -96,6 +97,7 @@ class PatchFusionInference:
         self.fusion = fusion
         self.mesh = mesh
         self.patch_axis = patch_axis
+        self.rn_times_process_num = rn_times_process_num
         self._compiled: Dict[Any, Any] = {}
 
     def _shard_tiles(self, x: Array) -> Array:
@@ -281,8 +283,14 @@ class PatchFusionInference:
         bilinearly resized for eval)."""
         if cai_mode.startswith("r"):
             mode, n_random = "r", int(cai_mode[1:])
-            n_random = (n_random // (self.process_num or 1)) * \
-                (self.process_num or 1)
+            if self.rn_times_process_num:
+                # BaselinePretrain quirk: rN runs N random_tile calls of
+                # process_num tiles each (reference bp:407-410), while
+                # PatchFusion runs N//process_num calls (pf:445)
+                n_random = n_random * (self.process_num or 1)
+            else:
+                n_random = (n_random // (self.process_num or 1)) * \
+                    (self.process_num or 1)
             if rand_origins is not None:
                 rand = np.asarray(rand_origins, np.int32)
                 n_random = rand.shape[0]
