@@ -86,10 +86,9 @@ def main():
     engine = PatchFusionInference(net, variables, tile_cfg,
                                   process_num=process_num)
 
-    img = np.random.default_rng(0).random((2160, 3840, 3),
-                                          np.float32)
-    lr = np.asarray(jax.image.resize(jnp.asarray(img), (392, 518, 3),
-                                     "linear"))[None]
+    img = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).random((2160, 3840, 3), np.float32)))
+    lr = jax.device_put(jax.image.resize(img, (392, 518, 3), "linear")[None])
     t0 = time.time()
     d = engine.infer(lr, img, cai_mode=mode)
     d.block_until_ready()

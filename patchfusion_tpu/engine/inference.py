@@ -307,5 +307,12 @@ class PatchFusionInference:
         key = (mode, n_random)
         if key not in self._compiled:
             self._compiled[key] = self._build(mode, n_random)
+        # explicit device_put: letting jit upload a host-resident 4K image
+        # as a call argument is several times slower than the direct
+        # transfer path (measured ~1.5s vs ~65ms through the TPU tunnel)
+        if isinstance(image_hr, np.ndarray):
+            image_hr = jax.device_put(jnp.asarray(image_hr))
+        if isinstance(image_lr, np.ndarray):
+            image_lr = jax.device_put(jnp.asarray(image_lr))
         return self._compiled[key](self.variables, image_lr, image_hr,
                                    jnp.asarray(rand))

@@ -56,6 +56,17 @@ def main():
     log_env(logger)
     fix_random_seed(args.seed)
 
+    if args.use_wandb:
+        try:
+            import wandb
+            wandb.init(project=cfg.get("project", "patchfusion"),
+                       name=args.log_name, tags=args.tags,
+                       config=cfg.to_dict() if hasattr(cfg, "to_dict")
+                       else dict(cfg))
+        except Exception as e:  # offline image: wandb may be unavailable
+            logger.warning("wandb unavailable (%s); console logging only", e)
+            args.use_wandb = False
+
     import jax
     import jax.numpy as jnp
 
