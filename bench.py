@@ -18,6 +18,13 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: repeated bench runs (and the driver's
+# end-of-round run) skip the multi-minute AOT compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 # A100 80GB PyTorch 2.1 estimate for DA-vitl p49 4K inference, img/s.
 # Derivation: ZoeDepth-DA-vitl at 392x518 runs ~20 img/s on A100 (fp16,
 # batched); p49 needs 50 such passes plus fusion/attention overhead
