@@ -85,6 +85,45 @@ class SeedBinRegressor(nn.Module):
         return widths_normed, centers
 
 
+class LinearSplitter(nn.Module):
+    """localbins_layers.py:121-169: fractional bin splitting (registered in
+    the reference layer zoo; unused by shipped PatchFusion configs)."""
+    prev_nbins: int
+    split_factor: int = 2
+    mlp_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, b_prev: Array,
+                 prev_b_embedding: Optional[Array] = None
+                 ) -> Tuple[Array, Array]:
+        if prev_b_embedding is not None:
+            pe = interpolate(prev_b_embedding, x.shape[1:3], mode="bilinear",
+                             align_corners=True)
+            x = x + pe
+        h = nn.Conv(self.mlp_dim, (1, 1), dtype=self.dtype, name="net_0")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Conv(self.prev_nbins * self.split_factor, (1, 1),
+                    dtype=self.dtype, name="net_2")(h)
+        s = nn.relu(h) + 1e-3
+        sh = s.shape[:-1]
+        s = s.reshape(*sh, self.prev_nbins, self.split_factor)
+        s_normed = s / jnp.sum(s, axis=-1, keepdims=True)
+        b_prev = interpolate(b_prev, x.shape[1:3], mode="bilinear",
+                             align_corners=True)
+        b_prev = b_prev / jnp.sum(b_prev, axis=-1, keepdims=True)
+        b = (b_prev[..., None] * s_normed).reshape(
+            *sh, self.prev_nbins * self.split_factor)
+        widths = (self.max_depth - self.min_depth) * b
+        widths = jnp.pad(widths, [(0, 0)] * (len(sh)) + [(1, 0)],
+                         constant_values=self.min_depth)
+        edges = jnp.cumsum(widths, axis=-1)
+        centers = 0.5 * (edges[..., :-1] + edges[..., 1:])
+        return b, centers
+
+
 class Projector(nn.Module):
     """localbins_layers.py:99-117."""
     out_features: int
