@@ -223,7 +223,8 @@ class BaselinePretrain:
 
     def infer(self, image_lr=None, image_hr=None, cai_mode: str = "m1",
               process_num: int = 4,
-              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+              rng: Optional[np.random.Generator] = None,
+              **_ignored) -> np.ndarray:
         import jax
 
         if self.target == "coarse":

@@ -57,29 +57,59 @@ def main():
                              for k, v in opts.items()})
 
     logger = setup_logger()
-    mc = cfg.model["config"]
-
-    from patchfusion_tpu.api import PatchFusion
     ckp = args.ckp_path
-    if ckp and os.path.isdir(ckp):
-        model = PatchFusion.from_pretrained(ckp)
-    elif ckp and "," in ckp:
-        paths = ckp.split(",")
-        model = PatchFusion.from_config(
-            mc, ckpts=(paths[0], paths[1],
-                       paths[2] if len(paths) > 2 else None))
-    else:
-        model = PatchFusion.from_config(mc)
-        if ckp:
-            from patchfusion_tpu.engine.checkpoint import load_checkpoint
-            blob = load_checkpoint(ckp)
-            model.variables["params"].update(blob["trainable"])
-            model.variables["batch_stats"] = blob.get("batch_stats", {})
 
-    tile_cfg = TileConfig(tuple(args.image_raw_shape),
-                          tuple(args.patch_split_num),
-                          model.tile_cfg.patch_process_shape)
-    engine = model.engine(args.process_num, tile_cfg)
+    if cfg.model["type"] == "BaselinePretrain":
+        # stage-1/2 branch eval (reference baseline_pretrain.py:364-419)
+        from patchfusion_tpu.api import BaselinePretrain
+        mcfg = cfg.model
+        target = mcfg["target"]
+        branch_cfg = mcfg["coarse_branch" if target == "coarse"
+                          else "fine_branch"]
+        pps = cfg.train_dataloader["dataset"]["transform_cfg"][
+            "network_process_size"]
+        kw = dict(target=target,
+                  image_raw_shape=tuple(args.image_raw_shape),
+                  patch_split_num=tuple(args.patch_split_num),
+                  patch_process_shape=tuple(pps))
+        if ckp and ckp.endswith(".pth"):
+            model = BaselinePretrain.from_torch(
+                branch_cfg, mcfg["min_depth"], mcfg["max_depth"], ckp, **kw)
+        else:
+            model = BaselinePretrain(branch_cfg, mcfg["min_depth"],
+                                     mcfg["max_depth"], **kw)
+            if ckp:
+                from patchfusion_tpu.engine.checkpoint import load_params
+                model.params = load_params(ckp)["params"]
+
+        class _Engine:
+            def infer(self, image_lr, image_hr, cai_mode="m1", rng=None):
+                return model.infer(image_lr=image_lr, image_hr=image_hr,
+                                   cai_mode=cai_mode,
+                                   process_num=args.process_num, rng=rng)
+        engine = _Engine()
+    else:
+        from patchfusion_tpu.api import PatchFusion
+        mc = cfg.model["config"]
+        if ckp and os.path.isdir(ckp):
+            model = PatchFusion.from_pretrained(ckp)
+        elif ckp and "," in ckp:
+            paths = ckp.split(",")
+            model = PatchFusion.from_config(
+                mc, ckpts=(paths[0], paths[1],
+                           paths[2] if len(paths) > 2 else None))
+        else:
+            model = PatchFusion.from_config(mc)
+            if ckp:
+                from patchfusion_tpu.engine.checkpoint import load_checkpoint
+                blob = load_checkpoint(ckp)
+                model.variables["params"].update(blob["trainable"])
+                model.variables["batch_stats"] = blob.get("batch_stats", {})
+
+        tile_cfg = TileConfig(tuple(args.image_raw_shape),
+                              tuple(args.patch_split_num),
+                              model.tile_cfg.patch_process_shape)
+        engine = model.engine(args.process_num, tile_cfg)
 
     if args.test_type == "general":
         dcfg = dict(cfg.general_dataloader)
