@@ -40,9 +40,12 @@ def main():
     mode = os.environ.get("BENCH_MODE", "m2")
     dtype_s = os.environ.get("BENCH_DTYPE", "bf16")
     iters = int(os.environ.get("BENCH_ITERS", "5"))
-    process_num = int(os.environ.get("BENCH_PROCESS_NUM", "0")) or None
-    # None = whole pass per device step (16/12/12/9 tiles for p49 — no
-    # padding waste; chunking is a memory knob, not a throughput one)
+    # whole-pass batches (process_num=None) have no padding waste but
+    # vitl at batch 16 exceeds v5e HBM; 8-tile chunks fit
+    default_pn = "8" if os.environ.get("BENCH_CORE", "vitl") == "vitl" \
+        else "0"
+    process_num = int(os.environ.get("BENCH_PROCESS_NUM", default_pn)) \
+        or None
     dtype = jnp.bfloat16 if dtype_s == "bf16" else jnp.float32
 
     from patchfusion_tpu.models.builder import build_patchfusion
