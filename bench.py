@@ -93,6 +93,12 @@ def main():
     if "batch_stats" in variables:
         variables["batch_stats"] = jax.tree.map(
             lambda x: jnp.ones_like(x), variables["batch_stats"])
+    if dtype == jnp.bfloat16:
+        # store params in bf16 too: the modules compute in bf16 anyway and
+        # f32 master copies of the frozen branches waste ~1.5 GB HBM (vitl)
+        variables["params"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables["params"])
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     engine = PatchFusionInference(net, variables, tile_cfg,

@@ -56,21 +56,18 @@ def crop_resize_tiles(image_hr: Array, origins: Array,
 
 
 def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int]) -> Array:
-    """Apply fn over the leading (tile) axis in `chunk`-sized steps via
-    lax.map (compiles the body once). Pads to a chunk multiple and drops the
-    padding — the XLA replacement for the reference's torch.split loop
-    (baseline_pretrain.py:293-307)."""
+    """Apply fn over the leading (tile) axis in chunks via lax.map (the XLA
+    replacement for the reference's torch.split loop,
+    baseline_pretrain.py:293-307). `chunk` is a MEMORY CAP: the actual chunk
+    is the largest divisor of n not exceeding it, so no tile is ever padded/
+    recomputed (a 12-tile shifted pass under cap 8 runs as 2x6, not 2x8)."""
     n = arrays[0].shape[0]
     if chunk is None or chunk >= n:
         return fn(*arrays)
-    pad = (-n) % chunk
-    if pad:
-        arrays = [jnp.concatenate(
-            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0) for a in arrays]
-    stacked = [a.reshape(-1, chunk, *a.shape[1:]) for a in arrays]
+    eff = max(d for d in range(1, chunk + 1) if n % d == 0)
+    stacked = [a.reshape(-1, eff, *a.shape[1:]) for a in arrays]
     out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
-    out = out.reshape(-1, *out.shape[2:])
-    return out[:n]
+    return out.reshape(-1, *out.shape[2:])
 
 
 class PatchFusionInference:
