@@ -58,9 +58,13 @@ class PatchFusion:
     @classmethod
     def from_config(cls, config: Dict[str, Any],
                     ckpts: Optional[Tuple[str, str, Optional[str]]] = None,
-                    dtype=jnp.float32, seed: int = 0) -> "PatchFusion":
+                    dtype=jnp.float32, seed: int = 0,
+                    cast_params: bool = True) -> "PatchFusion":
         """config: the reference model.config dict. ckpts: optional
-        (coarse.pth, fine.pth, fusion.pth) reference checkpoints."""
+        (coarse.pth, fine.pth, fusion.pth) reference checkpoints.
+        cast_params: with dtype=bf16, also STORE weights in bf16 (the
+        modules compute in bf16 regardless; f32 master copies of the frozen
+        branches waste ~1.5 GB HBM for vitl inference)."""
         net, tile_cfg = build_patchfusion(config, dtype=dtype)
         if ckpts is not None:
             from patchfusion_tpu.engine.checkpoint import \
@@ -75,6 +79,9 @@ class PatchFusion:
             variables = missing
         else:
             variables = _init_variables(net, tile_cfg, seed)
+        if dtype == jnp.bfloat16 and cast_params:
+            variables = dict(variables)
+            variables["params"] = _cast_tree_bf16(variables["params"])
         return cls(net, tile_cfg, variables, config)
 
     @classmethod
@@ -258,6 +265,13 @@ class BaselinePretrain:
                 rn_times_process_num=True)
         return np.asarray(self._fine_engine.infer(
             image_lr, image_hr, cai_mode=cai_mode, rng=rng))
+
+
+def _cast_tree_bf16(tree):
+    import jax
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x, tree)
 
 
 def _to_nhwc(x):
