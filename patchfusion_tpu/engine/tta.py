@@ -14,9 +14,16 @@ from patchfusion_tpu.ops.resize import interpolate
 
 
 def zoe_infer(apply_fn, x, pad_input: bool = True,
-              with_flip_aug: bool = True, fh: float = 3.0, fw: float = 3.0):
+              with_flip_aug: bool = True, fh: float = 3.0, fw: float = 3.0,
+              multiple_of: int = 14):
     """apply_fn: (B,H,W,3) -> dict with 'metric_depth' (B,H,W,1).
-    x: (B,H,W,3). Returns (B,H,W,1)."""
+    x: (B,H,W,3). Returns (B,H,W,1).
+
+    The reference pads arbitrarily and relies on the core's internal Resize
+    (PrepForMidas, do_resize=True) to reach a multiple-of-14 size; our
+    branch has no internal resize, so the padded input is resized here with
+    the same 'minimal multiple-of' rule before the forward pass."""
+    from patchfusion_tpu.ops.resize import minimal_multiple_resize_size
 
     def infer_pad(xx):
         h, w = xx.shape[1:3]
@@ -25,9 +32,13 @@ def zoe_infer(apply_fn, x, pad_input: bool = True,
             pad_w = int(np.sqrt(w / 2) * fw)
             pads = [(0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)]
             xx = jnp.pad(xx, pads, mode="reflect")
-        out = apply_fn(xx)["metric_depth"]
-        if out.shape[1:3] != xx.shape[1:3]:
-            out = interpolate(out, xx.shape[1:3], mode="bicubic",
+        ph, pw = xx.shape[1:3]
+        nh, nw = minimal_multiple_resize_size(ph, pw, ph, pw, multiple_of)
+        net_in = xx if (nh, nw) == (ph, pw) else interpolate(
+            xx, (nh, nw), mode="bilinear", align_corners=True)
+        out = apply_fn(net_in)["metric_depth"]
+        if out.shape[1:3] != (ph, pw):
+            out = interpolate(out, (ph, pw), mode="bicubic",
                               align_corners=False)
         if pad_input:
             if pad_h > 0:
