@@ -69,10 +69,13 @@ def fused_attention(q: Array, k: Array, v: Array) -> Array:
         return jax.nn.dot_product_attention(q, k, v)
     dh = q.shape[-1]
     scale = dh ** -0.5
+    # bf16 logits: softmax values are bounded and max-subtracted, so bf16's
+    # 8-bit mantissa costs ~1e-2 on probabilities — the compute-dtype
+    # contract — while halving the dominant N^2 HBM traffic.
     logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.bfloat16)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m).astype(jnp.bfloat16)
+    p = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
     s = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     o = jnp.einsum("bhnm,bmhd->bnhd", p, v,
                    preferred_element_type=jnp.float32)
