@@ -134,9 +134,11 @@ class PatchFusionInference:
         return outs
 
     def _tile_batch(self, variables, image_hr, origins_raw: Array,
-                    boxes_process: Array, coarse_ctx,
-                    static_grid=None) -> Array:
-        """Run fine(+fusion) on all tiles of a pass -> (N, ph, pw)."""
+                    boxes_process: Optional[Array], coarse_ctx,
+                    static_grids=None) -> Array:
+        """Run fine(+fusion) on a batch of tiles -> (N, ph, pw).
+        static_grids: list of (oh, ow) regular grids covering origins_raw in
+        order (static-tap roi path); None -> dynamic boxes_process path."""
         tc = self.tile_cfg
         crops = crop_resize_tiles(image_hr, origins_raw, tc.patch_raw_shape,
                                   tc.patch_process_shape)
@@ -150,11 +152,15 @@ class PatchFusionInference:
             return _chunked(run, [crops], self.process_num)
 
         coarse_depth, coarse_feats, g2l_feats = coarse_ctx
-        if static_grid is not None:
-            oh_raw, ow_raw = static_grid
-            depth_roi = self._grid_rois([coarse_depth], oh_raw, ow_raw)[0]
-            feat_rois = self._grid_rois(coarse_feats, oh_raw, ow_raw)
-            g2l_rois = self._grid_rois(g2l_feats, oh_raw, ow_raw)
+        if static_grids is not None:
+            def cat_rois(feats):
+                per_level = [self._grid_rois(feats, oh, ow)
+                             for (oh, ow) in static_grids]
+                return [jnp.concatenate([g[lvl] for g in per_level], axis=0)
+                        for lvl in range(len(feats))]
+            depth_roi = cat_rois([coarse_depth])[0]
+            feat_rois = cat_rois(coarse_feats)
+            g2l_rois = cat_rois(g2l_feats)
         else:
             depth_roi, feat_rois, g2l_rois = self.net.apply(
                 variables, coarse_depth, coarse_feats, g2l_feats,
@@ -199,18 +205,27 @@ class PatchFusionInference:
 
         def fn(variables, image_lr, image_hr, rand_origins):
             coarse_ctx = self._coarse_ctx(variables, image_lr)
+
+            # batch ALL regular passes' tiles into one stream: a p49 run is
+            # a single 49-tile batch (uniform divisor chunks, e.g. 7x7)
+            # instead of per-pass fragments (8,8 | 6,6 | 6,6 | 3,3,3)
+            pass_grids = [tc.regular_origins(off_raw)
+                          for (off_raw, _)in offsets]
+            counts = [len(oh) * len(ow) for (oh, ow) in pass_grids]
+            all_origins = np.concatenate([
+                np.array([[y, x] for y in oh for x in ow], np.int32)
+                for (oh, ow) in pass_grids])
+            tiles_all = self._tile_batch(
+                variables, image_hr, jnp.asarray(all_origins), None,
+                coarse_ctx, static_grids=pass_grids)
+
             avg: Optional[AvgMap] = None
-            for (off_raw, off_proc) in offsets:
-                oh, ow = tc.regular_origins(off_raw)
+            start = 0
+            for (off_raw, off_proc), (oh, ow), n in zip(offsets, pass_grids,
+                                                        counts):
                 poh, pow_ = tc.process_origins(off_proc)
-                boxes_raw = tc.bboxes_for(oh, ow)
-                boxes_p = tc.bbox_to_process(jnp.asarray(boxes_raw))
-                origins = np.array([[y, x] for y in oh for x in ow],
-                                   np.int32)
-                tiles = self._tile_batch(variables, image_hr,
-                                         jnp.asarray(origins), boxes_p,
-                                         coarse_ctx,
-                                         static_grid=(oh, ow))
+                tiles = tiles_all[start:start + n]
+                start += n
                 num = paste_grid(tiles * blur, poh, pow_,
                                  tc.patch_reensemble_shape)
                 den = paste_grid(jnp.broadcast_to(
