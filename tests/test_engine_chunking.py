@@ -1,0 +1,45 @@
+"""Engine chunking invariance: the process_num memory cap must not change
+results (divisor chunks, single-stream pass batching)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as graft
+from patchfusion_tpu.engine.inference import PatchFusionInference, _chunked
+from patchfusion_tpu.models.builder import build_patchfusion
+
+
+def test_chunked_divisor_selection():
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        return x * 2
+
+    x = jnp.arange(12.0)[:, None]
+    out = _chunked(fn, [x], chunk=8)  # 12 under cap 8 -> chunks of 6
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
+    assert calls[0] == 6
+
+    out = _chunked(fn, [x], chunk=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
+
+
+def test_engine_chunking_invariance(rng):
+    config = graft._tiny_config()
+    net, tile_cfg = build_patchfusion(config)
+    lr = jnp.zeros((1, 42, 56, 3))
+    crops = jnp.zeros((1, 42, 56, 3))
+    bboxs = jnp.asarray([[0., 0., 56., 42.]])
+    variables = net.init(jax.random.PRNGKey(0), lr, crops, bboxs)
+
+    image_lr = rng.random((1, 42, 56, 3), dtype=np.float32)
+    image_hr = rng.random((84, 112, 3), dtype=np.float32)
+    outs = []
+    for pn in (None, 2):
+        eng = PatchFusionInference(net, variables, tile_cfg, process_num=pn)
+        outs.append(np.asarray(eng.infer(image_lr, image_hr,
+                                         cai_mode="m1")))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
