@@ -64,10 +64,19 @@ def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int]) -> Array:
     n = arrays[0].shape[0]
     if chunk is None or chunk >= n:
         return fn(*arrays)
-    eff = max(d for d in range(1, chunk + 1) if n % d == 0)
-    stacked = [a.reshape(-1, eff, *a.shape[1:]) for a in arrays]
-    out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
-    return out.reshape(-1, *out.shape[2:])
+    # greedy: full `chunk`-sized steps via lax.map + one remainder call.
+    # (Full-size chunks matter: e.g. batch 8 measurably outruns batch 7 on
+    # v5e, so 49 tiles run as 6x8+1, not 7x7.)
+    main = (n // chunk) * chunk
+    outs = []
+    if main:
+        stacked = [a[:main].reshape(-1, chunk, *a.shape[1:])
+                   for a in arrays]
+        o = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
+        outs.append(o.reshape(-1, *o.shape[2:]))
+    if n - main:
+        outs.append(fn(*[a[main:] for a in arrays]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 class PatchFusionInference:
