@@ -29,7 +29,6 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from patchfusion_tpu.config import ConfigDict
 from patchfusion_tpu.engine.inference import PatchFusionInference
 from patchfusion_tpu.models.builder import build_patchfusion
 from patchfusion_tpu.models.dinov2 import VIT_CONFIGS

@@ -22,7 +22,7 @@ import ast
 import copy
 import os
 import types
-from typing import Any, Dict, Iterable
+from typing import Any, Dict
 
 
 class ConfigDict(dict):

@@ -10,7 +10,7 @@ synthesized so the export loads with strict=True on the reference side.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Dict, Mapping
 
 import numpy as np
 

@@ -12,13 +12,12 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 from PIL import Image
 
-from patchfusion_tpu.ops.resize import (minimal_multiple_resize_size,
-                                        resize_matrix)
+from patchfusion_tpu.ops.resize import minimal_multiple_resize_size
 
 ArrayList = Union[np.ndarray, List[np.ndarray]]
 

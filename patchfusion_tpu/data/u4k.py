@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os.path as osp
 from collections import OrderedDict
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

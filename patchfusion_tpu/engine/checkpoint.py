@@ -15,7 +15,6 @@ Two formats:
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -20,8 +20,7 @@ ONE jitted function:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,9 +57,8 @@ def crop_resize_tiles(image_hr: Array, origins: Array,
 def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int]) -> Array:
     """Apply fn over the leading (tile) axis in chunks via lax.map (the XLA
     replacement for the reference's torch.split loop,
-    baseline_pretrain.py:293-307). `chunk` is a MEMORY CAP: the actual chunk
-    is the largest divisor of n not exceeding it, so no tile is ever padded/
-    recomputed (a 12-tile shifted pass under cap 8 runs as 2x6, not 2x8)."""
+    baseline_pretrain.py:293-307). `chunk` is a memory cap; no tile is ever
+    padded or recomputed."""
     n = arrays[0].shape[0]
     if chunk is None or chunk >= n:
         return fn(*arrays)

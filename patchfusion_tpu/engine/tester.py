@@ -9,7 +9,7 @@ with SEE boundary edges, and cross-process metric gathering (tester.py:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import numpy as np

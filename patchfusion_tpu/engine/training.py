@@ -11,7 +11,6 @@ ride along as a separate pytree — no masked zero-updates, no wasted memory.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

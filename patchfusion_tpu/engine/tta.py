@@ -5,8 +5,6 @@ flipped pass. Plus `infer_pil` convenience."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -24,7 +24,7 @@ init_values=1.0, interpolate_offset=0.1, no registers:
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

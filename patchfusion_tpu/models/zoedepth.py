@@ -15,7 +15,7 @@ Everything NHWC; channel ops are 1x1 convs = MXU matmuls.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

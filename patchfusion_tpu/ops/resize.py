@@ -24,7 +24,7 @@ given by `h_axis`/`w_axis`, defaulting to the canonical NHWC positions).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ import logging
 import os
 import random
 import sys
-from typing import Any
-
 import numpy as np
 
 
