@@ -1,13 +1,16 @@
-"""ROI-align as separable per-box interpolation matmuls (MXU-friendly).
+"""ROI-align as separable 1-D interpolations (TPU-native).
 
 Replaces the reference's `torchvision.ops.roi_align(..., aligned=True)`
 (7 call sites on the hot path: reference estimator/models/patchfusion.py:
 232,235,247,251 and estimator/models/blocks/guided_fusion_model.py:202).
 
 Because every PatchFusion ROI is an axis-aligned box, bilinear ROI sampling
-separates into one 1-D interpolation along H and one along W. We build the
-per-box (out, in) weight matrices on the VPU and contract with einsum on the
-MXU. Two modes:
+separates into one 1-D interpolation along H and one along W. The grid=1
+hot path is a 2-tap gather+lerp per axis (memory-bound VPU work); regular
+tile passes further specialize to STATIC taps (grid_axis_plan /
+roi_align_grid — the tiles' samples form one uniform grid over the feature
+map). The general sampling_ratio>1 case falls back to dense per-box weight
+matrices contracted on the MXU. Two batching modes:
 
   * `roi_align_single`: N boxes sampled from ONE feature map (the tiled
     inference path). The reference materialises the whole-image features
