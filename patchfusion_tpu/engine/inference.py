@@ -62,14 +62,11 @@ def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int]) -> Array:
     n = arrays[0].shape[0]
     if chunk is None or chunk >= n:
         return fn(*arrays)
-    # greedy: full `chunk`-sized steps via lax.map + one remainder call.
-    # (Full-size chunks matter: batch 8 measurably outruns batch 7 on v5e.)
-    # A tiny remainder (<=2) is absorbed into one slightly-oversized final
-    # call instead of paying a whole near-empty dispatch (49 -> 5x8 + 9).
+    # greedy: full `chunk`-sized steps via lax.map + one remainder call
+    # (49 tiles under cap 8 run as 6x8+1). Measured on v5e: full-size chunks
+    # beat divisor chunks (7x7) and beat absorbing the remainder into an
+    # oversized tail (5x8+9) — batch 8 is the sweet spot for this pipeline.
     main = (n // chunk) * chunk
-    rem = n - main
-    if 0 < rem <= 2 and main >= chunk:
-        main -= chunk
     outs = []
     if main:
         stacked = [a[:main].reshape(-1, chunk, *a.shape[1:])
