@@ -11,7 +11,7 @@ from patchfusion_tpu.engine.inference import PatchFusionInference, _chunked
 from patchfusion_tpu.models.builder import build_patchfusion
 
 
-def test_chunked_divisor_selection():
+def test_chunked_greedy_selection():
     calls = []
 
     def fn(x):
@@ -19,9 +19,9 @@ def test_chunked_divisor_selection():
         return x * 2
 
     x = jnp.arange(12.0)[:, None]
-    out = _chunked(fn, [x], chunk=8)  # 12 under cap 8 -> chunks of 6
+    out = _chunked(fn, [x], chunk=8)  # greedy: 8 + remainder 4
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
-    assert calls[0] == 6
+    assert calls[0] == 8 and calls[-1] == 4
 
     out = _chunked(fn, [x], chunk=None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
