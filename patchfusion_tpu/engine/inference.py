@@ -115,6 +115,19 @@ class PatchFusionInference:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, spec))
 
+    def _pad_tiles(self, arrays, n: int):
+        """Pad the tile axis to a device multiple so every pass shards over
+        the patch axis (a 49-tile p49 stream on 8 chips runs as 56 with the
+        7 duplicates dropped). Returns (padded arrays, n)."""
+        if self.mesh is None:
+            return arrays, n
+        ndev = self.mesh.shape[self.patch_axis]
+        pad = (-n) % ndev
+        if pad == 0:
+            return arrays, n
+        return [jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)],
+                                axis=0) for a in arrays], n
+
     # -- internals -----------------------------------------------------------
 
     def _grid_rois(self, feats, oh_raw, ow_raw):
@@ -148,16 +161,19 @@ class PatchFusionInference:
         static_grids: list of (oh, ow) regular grids covering origins_raw in
         order (static-tap roi path); None -> dynamic boxes_process path."""
         tc = self.tile_cfg
+        n_tiles = origins_raw.shape[0]
         crops = crop_resize_tiles(image_hr, origins_raw, tc.patch_raw_shape,
                                   tc.patch_process_shape)
-        crops = self._shard_tiles(crops)
         if not self.fusion:
+            (crops,), n_tiles = self._pad_tiles([crops], n_tiles)
+            crops = self._shard_tiles(crops)
+
             def run(crop_chunk):
                 depth, _ = self.net.apply(
                     variables, crop_chunk,
                     method=PatchFusionNet.fine_forward)
                 return depth[..., 0]
-            return _chunked(run, [crops], self.process_num)
+            return _chunked(run, [crops], self.process_num)[:n_tiles]
 
         coarse_depth, coarse_feats, g2l_feats = coarse_ctx
         if static_grids is not None:
@@ -174,6 +190,10 @@ class PatchFusionInference:
                 variables, coarse_depth, coarse_feats, g2l_feats,
                 boxes_process, method=PatchFusionNet.coarse_postprocess)
 
+        arrays = [crops, depth_roi, *feat_rois, *g2l_rois]
+        arrays, n_tiles = self._pad_tiles(arrays, n_tiles)
+        arrays = [self._shard_tiles(a) for a in arrays]
+
         def run(crop_chunk, droi_chunk, *roi_chunks):
             frois = list(roi_chunks[:6])
             grois = list(roi_chunks[6:])
@@ -182,8 +202,7 @@ class PatchFusionInference:
                 method=PatchFusionNet.infer_tiles)
             return depth[..., 0]
 
-        return _chunked(run, [crops, depth_roi, *feat_rois, *g2l_rois],
-                        self.process_num)
+        return _chunked(run, arrays, self.process_num)[:n_tiles]
 
     def _coarse_ctx(self, variables, image_lr):
         coarse_depth, coarse_feats = self.net.apply(

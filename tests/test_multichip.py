@@ -44,6 +44,11 @@ def test_patch_sharded_inference_matches_single(tiny, rng):
     assert d1.shape == d2.shape == (84, 112)
     np.testing.assert_allclose(d1, d2, rtol=2e-4, atol=2e-4)
 
+    # m2: 9 tiles on 4 devices exercises the pad-to-device-multiple path
+    d3 = np.asarray(single.infer(lr, img, cai_mode="m2"))
+    d4 = np.asarray(sharded.infer(lr, img, cai_mode="m2"))
+    np.testing.assert_allclose(d3, d4, rtol=2e-4, atol=2e-4)
+
 
 def test_dp_train_step_runs_and_syncs(tiny):
     """Gradient correctness across shards: the same global batch must give
