@@ -101,6 +101,12 @@ def main():
                           drop_last=shuffle)
 
     train_loader = build_loader(cfg.train_dataloader, shuffle=True)
+    try:
+        val_loader = build_loader(cfg.val_dataloader, shuffle=False)
+    except (FileNotFoundError, KeyError):
+        val_loader = None
+        logger.warning("val dataloader unavailable; skipping in-training "
+                       "validation")
 
     tcfg = cfg.train_cfg
     steps_per_epoch = max(1, len(train_loader))
@@ -146,7 +152,36 @@ def main():
 
     step_fn = make_train_step(net, tx, min_depth=mc["min_depth"],
                               max_depth=mc["max_depth"])
+
+    val_fn = None
+    if val_loader is not None:
+        import numpy as np
+
+        from patchfusion_tpu.engine.inference import PatchFusionInference
+        from patchfusion_tpu.engine.training import merge_params
+
+        val_engine = PatchFusionInference(net, None, tile_cfg,
+                                          process_num=4)
+
+        def val_fn(state, batch):
+            """m1 tiled inference + metrics on one val image (the
+            reference's val_epoch protocol, trainer.py:137-216). The engine
+            is reused — variables are a call argument, so swapping them
+            does not recompile."""
+            val_engine.variables = {
+                "params": merge_params(state.trainable, state.frozen),
+                "batch_stats": state.batch_stats}
+            depth = val_engine.infer(np.asarray(batch["image_lr"]),
+                                     np.asarray(batch["image_hr"])[0],
+                                     cai_mode="m1")
+            ds = val_loader.dataset
+            return ds.get_metrics(
+                np.asarray(batch["depth_gt"])[0], np.asarray(depth),
+                disp_gt_edges=np.asarray(batch["boundary"])[0]
+                if "boundary" in batch else None)
+
     trainer = Trainer(net, tx, state, step_fn, train_loader,
+                      val_loader=val_loader, val_fn=val_fn,
                       max_epochs=tcfg["max_epochs"],
                       val_interval=tcfg.get("val_interval", 2),
                       save_checkpoint_interval=tcfg.get(
