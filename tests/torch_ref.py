@@ -256,6 +256,58 @@ def build_patchfusion_ref(config: dict):
     return model
 
 
+def build_baseline_pretrain_ref(zoe_cfg: dict, target: str,
+                                image_raw_shape, patch_split_num,
+                                patch_process_shape):
+    """Reference BaselinePretrain (baseline_pretrain.py:44-419) with random
+    weights, loaded file-directly."""
+    install_stubs()
+    add_ref_paths()
+    import os
+    import torch
+
+    class _Reg:
+        def register_module(self, cls=None, **kw):
+            if cls is not None:
+                return cls
+            return lambda c: c
+
+    for name in ["estimator", "estimator.models"]:
+        _stub(name)
+    _stub("estimator.registry", MODELS=_Reg(), DATASETS=_Reg())
+    _load_module("estimator.models.utils",
+                 REF + "/estimator/models/utils.py")
+    losses = _load_module("estimator.models.losses",
+                          REF + "/estimator/models/losses.py")
+
+    def build_model(cfg, **extra):
+        cfg = dict(cfg)
+        t = cfg.pop("type")
+        return {"SILogLoss": losses.SILogLoss}[t](**cfg, **extra)
+
+    sys.modules["estimator.models"].build_model = build_model
+    bp = _load_module("estimator.models.baseline_pretrain",
+                      REF + "/estimator/models/baseline_pretrain.py")
+    from mmengine import ConfigDict
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        model = bp.BaselinePretrain(
+            coarse_branch=ConfigDict(zoe_cfg),
+            fine_branch=ConfigDict(zoe_cfg),
+            sigloss=dict(type="SILogLoss"),
+            min_depth=zoe_cfg["min_depth"], max_depth=zoe_cfg["max_depth"],
+            image_raw_shape=image_raw_shape,
+            patch_process_shape=patch_process_shape,
+            patch_split_num=patch_split_num,
+            target=target)
+    finally:
+        os.chdir(cwd)
+    model.eval()
+    return model
+
+
 def add_ref_paths():
     for p in [REF, REF + "/external",
               REF + "/external/torchhub/facebookresearch_dinov2_main"]:
