@@ -304,6 +304,18 @@ def _init_variables(net, tile_cfg: TileConfig, seed: int) -> Dict[str, Any]:
     crops = jnp.zeros((1, pph, ppw, 3), jnp.float32)
     bboxs = jnp.asarray([[0.0, 0.0, tile_cfg.patch_raw_shape[1],
                           tile_cfg.patch_raw_shape[0]]], jnp.float32)
+    # init on the CPU backend: flax init traces the full forward, and
+    # compiling that program on the accelerator just to draw random weights
+    # costs many minutes at canonical resolution
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = net.init(jax.random.PRNGKey(seed), image_lr, crops,
+                                 bboxs)
+        return jax.device_put(variables, jax.devices()[0])
     return net.init(jax.random.PRNGKey(seed), image_lr, crops, bboxs)
 
 
