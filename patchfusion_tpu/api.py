@@ -298,25 +298,52 @@ def _normalize_hub_config(raw: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _init_variables(net, tile_cfg: TileConfig, seed: int) -> Dict[str, Any]:
+    """Random-initialize without tracing the forward pass.
+
+    `net.init` would trace (and on an accelerator, compile) the ENTIRE
+    PatchFusion forward at canonical 4K-tile resolution just to draw random
+    weights — minutes of compile for no compute. Instead the param shapes
+    come from `jax.eval_shape` (abstract, instant) and values are drawn by
+    name with the same distributions the modules declare:
+      kernel -> lecun_normal (flax Conv/Dense default), bias -> zeros,
+      scale -> ones, *_gamma -> ones (LayerScale init 1.0),
+      pos_embed / absolute_pos_embed / relative_position_bias_table ->
+      normal(0.02), cls_token -> normal(1e-6); BN stats -> (0, 1).
+    """
     import jax
+
     pph, ppw = tile_cfg.patch_process_shape
     image_lr = jnp.zeros((1, pph, ppw, 3), jnp.float32)
     crops = jnp.zeros((1, pph, ppw, 3), jnp.float32)
     bboxs = jnp.asarray([[0.0, 0.0, tile_cfg.patch_raw_shape[1],
                           tile_cfg.patch_raw_shape[0]]], jnp.float32)
-    # init on the CPU backend: flax init traces the full forward, and
-    # compiling that program on the accelerator just to draw random weights
-    # costs many minutes at canonical resolution
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None and jax.default_backend() != "cpu":
-        with jax.default_device(cpu):
-            variables = net.init(jax.random.PRNGKey(seed), image_lr, crops,
-                                 bboxs)
-        return jax.device_put(variables, jax.devices()[0])
-    return net.init(jax.random.PRNGKey(seed), image_lr, crops, bboxs)
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), image_lr,
+                            crops, bboxs)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    rng = np.random.default_rng(seed)
+    leaves = []
+    for path, s in flat:
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        shape, dtype = s.shape, s.dtype
+        if name == "kernel":
+            fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+            std = np.sqrt(1.0 / max(fan_in, 1)) / 0.87962566103423978
+            v = np.clip(rng.standard_normal(shape), -2, 2) * std
+        elif name in ("bias",):
+            v = np.zeros(shape)
+        elif name in ("scale", "ls1_gamma", "ls2_gamma", "var"):
+            v = np.ones(shape)
+        elif name in ("pos_embed", "absolute_pos_embed",
+                      "relative_position_bias_table"):
+            v = rng.standard_normal(shape) * 0.02
+        elif name == "cls_token":
+            v = rng.standard_normal(shape) * 1e-6
+        else:  # mean and anything else
+            v = np.zeros(shape)
+        leaves.append(np.asarray(v, dtype))
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    return jax.device_put(tree)  # one batched transfer, not per-leaf
 
 
 def _init_missing(net, tile_cfg: TileConfig, params: Dict[str, Any],
