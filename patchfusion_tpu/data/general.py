@@ -23,10 +23,16 @@ from patchfusion_tpu.utils.metrics import compute_metrics, get_boundaries
 def _resize_bicubic_ac(img: np.ndarray, size) -> np.ndarray:
     """bicubic align_corners=True whole-image resize (reference
     general_dataset.py:31-33 F.interpolate(mode='bicubic',
-    align_corners=True))."""
-    wh = resize_matrix(size[0], img.shape[0], "bicubic", align_corners=True)
-    ww = resize_matrix(size[1], img.shape[1], "bicubic", align_corners=True)
-    return np.einsum("ph,hwc,qw->pqc", wh, img.astype(np.float32), ww)
+    align_corners=True)) — host-side 4-tap gathers (a dense matmul at
+    4K costs tens of GFLOPs in numpy)."""
+    from patchfusion_tpu.ops.resize import _tap_plan
+
+    x = img.astype(np.float32)
+    th, wh = _tap_plan(size[0], x.shape[0], "bicubic", True, None)
+    x = sum(x[th[:, j]] * wh[:, j, None, None] for j in range(4))
+    tw, ww = _tap_plan(size[1], x.shape[1], "bicubic", True, None)
+    x = sum(x[:, tw[:, j]] * ww[None, :, j, None] for j in range(4))
+    return x
 
 
 def read_image(path: str, dataset_name: str,
