@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from patchfusion_tpu.config.registry import MODELS
 from patchfusion_tpu.models.patchfusion import PatchFusionNet, TileConfig
-from patchfusion_tpu.models.zoedepth import ZoeDepthDA
+from patchfusion_tpu.models.zoedepth import make_zoe_branch
 
 ZOE_KEYS = ("n_bins", "bin_centers_type", "bin_embedding_dim",
             "n_attractors", "attractor_alpha", "attractor_gamma",
@@ -25,20 +25,21 @@ FUSION_KEYS = ("n_channels", "in_channels", "depth", "num_heads",
 
 
 def zoe_branch_kwargs(branch_cfg: Dict[str, Any]) -> Dict[str, Any]:
-    """Reference zoe_depth_config dict -> ZoeDepthDA kwargs.
+    """Reference zoe_depth_config dict -> make_zoe_branch kwargs.
 
-    `type` must be 'DA-ZoeDepth' (the MiDaS-BEiT 'ZoeDepth' variant needs a
-    BEiT core; reference midas.py pulls it from a non-vendored torch.hub —
-    tracked as the optional zoedepth backend, SURVEY §7 stage 10)."""
+    'DA-ZoeDepth' selects the Depth-Anything (DINOv2) core; 'ZoeDepth'
+    selects the MiDaS DPT_BEiT_L_384 core (reference zoedepth_v1.py:300-305
+    falls through to MidasCore for non-vits/b/l midas_model_types)."""
     t = branch_cfg.get("type", "DA-ZoeDepth")
-    if t != "DA-ZoeDepth":
-        raise NotImplementedError(
-            f"branch type {t!r}: only the Depth-Anything (DA-ZoeDepth) "
-            "branches are implemented so far")
+    if t not in ("DA-ZoeDepth", "ZoeDepth"):
+        raise NotImplementedError(f"unknown branch type {t!r}")
     kw = {k: branch_cfg[k] for k in ZOE_KEYS if k in branch_cfg}
     if "n_attractors" in kw:
         kw["n_attractors"] = tuple(kw["n_attractors"])
-    kw["core_type"] = branch_cfg["midas_model_type"]
+    kw["core_type"] = branch_cfg.get(
+        "midas_model_type", "DPT_BEiT_L_384" if t == "ZoeDepth" else "vitl")
+    if t == "ZoeDepth":
+        kw["core_family"] = "midas"
     return kw
 
 
@@ -70,7 +71,7 @@ def build_patchfusion(config: Dict[str, Any], dtype=jnp.float32
 
 
 def build_zoedepth_branch(branch_cfg: Dict[str, Any], min_depth: float,
-                          max_depth: float, dtype=jnp.float32) -> ZoeDepthDA:
+                          max_depth: float, dtype=jnp.float32):
     """Standalone coarse/fine branch (BaselinePretrain stages)."""
-    return ZoeDepthDA(**zoe_branch_kwargs(branch_cfg), min_depth=min_depth,
-                      max_depth=max_depth, dtype=dtype)
+    return make_zoe_branch(zoe_branch_kwargs(branch_cfg), min_depth,
+                           max_depth, dtype=dtype)

@@ -30,9 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from patchfusion_tpu.models.fusion import GuidedFusion
-from patchfusion_tpu.models.zoedepth import (DA_OUTPUT_CHANNELS,
-                                             MetricBinsHead, N_MIDAS_OUT,
-                                             ZoeDepthDA)
+from patchfusion_tpu.models.zoedepth import (MetricBinsHead, N_MIDAS_OUT,
+                                             branch_channels, make_zoe_branch)
 from patchfusion_tpu.ops.roi_align import (roi_align_batched,
                                            roi_align_single)
 
@@ -120,13 +119,11 @@ class PatchFusionNet(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.coarse_branch = ZoeDepthDA(
-            **self.coarse, min_depth=self.min_depth,
-            max_depth=self.max_depth, dtype=self.dtype)
-        self.fine_branch = ZoeDepthDA(
-            **self.fine, min_depth=self.min_depth, max_depth=self.max_depth,
-            dtype=self.dtype)
-        c = DA_OUTPUT_CHANNELS[self.fine["core_type"]]
+        self.coarse_branch = make_zoe_branch(
+            self.coarse, self.min_depth, self.max_depth, dtype=self.dtype)
+        self.fine_branch = make_zoe_branch(
+            self.fine, self.min_depth, self.max_depth, dtype=self.dtype)
+        c = branch_channels(self.fine)
         chans = [c] * 5 + [N_MIDAS_OUT]
         self.fusion_convs = [
             nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,

@@ -32,7 +32,7 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 # DepthAnythingCore.output_channels (reference depth_anything.py:331-337):
 # [btlnck, 4 x block feats]; all equal per core type.
-DA_OUTPUT_CHANNELS = {"vits": 64, "vitb": 128, "vitl": 256}
+DA_OUTPUT_CHANNELS = {"vits": 64, "vitb": 128, "vitl": 256, "vitmicro": 32}
 N_MIDAS_OUT = 32
 
 
@@ -449,3 +449,84 @@ class ZoeDepthDA(nn.Module):
         out["rel_depth"] = rel_depth
         out["temp_features"] = temp_features
         return out
+
+
+# MidasCore.output_channels for DPT_BEiT_L_384 (midas.py:368-376: 256 x 5)
+MIDAS_BTLNCK_CHANNELS = 256
+
+
+class ZoeDepthBEiT(nn.Module):
+    """Full ZoeDepth v1 (MiDaS DPT_BEiT_L_384 core) — the branch model of
+    the `patchfusion_zoedepth` family.
+
+    Same metric-bins head as ZoeDepthDA; differences are the core
+    (models/beit.py MidasDPTBEiT instead of DPTDinov2) and the input
+    normalization: mean/std 0.5 (reference PrepForMidas, midas.py:180-181)
+    instead of ImageNet stats. `do_resize=False` in every shipped
+    PatchFusion config, so no resizer lives in the model — inputs arrive at
+    img_size (384x512, multiples of 32) already.
+    """
+    core_type: str = "DPT_BEiT_L_384"
+    n_bins: int = 64
+    bin_centers_type: str = "softplus"
+    bin_embedding_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    n_attractors: Sequence[int] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0
+    attractor_gamma: int = 2
+    attractor_kind: str = "mean"
+    attractor_type: str = "inv"
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, normalize: bool = True) -> Dict[str, Any]:
+        from patchfusion_tpu.models.beit import MidasDPTBEiT
+        if normalize:
+            x = (x - 0.5) / 0.5
+        rel_depth, feats = MidasDPTBEiT(self.core_type, dtype=self.dtype,
+                                        name="core")(x)
+
+        btlnck = feats["l4_rn"]
+        x_blocks = [feats["r4"], feats["r3"], feats["r2"], feats["r1"]]
+        last = feats["out_conv"]
+
+        x_d0 = nn.Conv(MIDAS_BTLNCK_CHANNELS, (1, 1), dtype=self.dtype,
+                       name="conv2")(btlnck)
+
+        temp_features = {"x_d0": x_d0, "midas_final_feat": last}
+        for i, xb in enumerate(x_blocks):
+            temp_features[f"x_blocks_feat_{i}"] = xb
+
+        rel_cond = rel_depth[..., None]
+        head = MetricBinsHead(
+            self.n_bins, self.bin_embedding_dim, self.min_depth,
+            self.max_depth, self.n_attractors, self.attractor_alpha,
+            self.attractor_gamma, self.attractor_kind, self.attractor_type,
+            self.bin_centers_type, self.min_temp, self.max_temp,
+            dtype=self.dtype, name="head")
+        out = head(x_d0, x_blocks, last, rel_cond)
+        out["rel_depth"] = rel_depth
+        out["temp_features"] = temp_features
+        return out
+
+
+def make_zoe_branch(kwargs: Dict[str, Any], min_depth: float,
+                    max_depth: float, dtype=jnp.float32):
+    """Branch factory: `core_family` selects the DA (DINOv2) or MiDaS (BEiT)
+    ZoeDepth variant — the counterpart of zoedepth_v1.py:300-305 where build
+    falls through to MidasCore for non-vits/b/l midas_model_types."""
+    kw = dict(kwargs)
+    family = kw.pop("core_family", "da")
+    cls = ZoeDepthBEiT if family == "midas" else ZoeDepthDA
+    return cls(**kw, min_depth=min_depth, max_depth=max_depth, dtype=dtype)
+
+
+def branch_channels(kwargs: Dict[str, Any]) -> int:
+    """Feature-pyramid channel count of a branch config (the `C` of the six
+    fusion convs, reference patchfusion.py:119-127)."""
+    if kwargs.get("core_family", "da") == "midas":
+        return MIDAS_BTLNCK_CHANNELS
+    return DA_OUTPUT_CHANNELS[kwargs.get("core_type", "vitl")]
