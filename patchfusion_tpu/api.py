@@ -245,12 +245,20 @@ class BaselinePretrain:
             from patchfusion_tpu.models.patchfusion import PatchFusionNet
 
             class _FineOnly:
-                """Adapter giving the engine a fine_forward."""
+                """Adapter giving a bare ZoeDepth branch the PatchFusionNet
+                method surface the engine calls. Dispatches on `method` so a
+                future engine call other than fine_forward fails loudly
+                instead of silently running the wrong computation."""
 
                 def __init__(self, net):
                     self.net = net
 
                 def apply(self, variables, *args, method=None, **kw):
+                    if method is not PatchFusionNet.fine_forward:
+                        raise NotImplementedError(
+                            f"fine-only adapter got method="
+                            f"{getattr(method, '__name__', method)!r}; only "
+                            "fine_forward exists without a fusion model")
                     out = self.net.apply(variables, *args, **kw)
                     feats = [out["temp_features"][k] for k in (
                         "x_d0", "x_blocks_feat_0", "x_blocks_feat_1",

@@ -40,6 +40,8 @@ class Trainer:
                  save_checkpoint_interval: int = 16, log_interval: int = 100,
                  work_dir: str = "./work_dir", use_wandb: bool = False,
                  collect_keys=BATCH_KEYS, eval_start: int = 0,
+                 train_log_img_interval: int = 500,
+                 val_log_img_interval: int = 50,
                  logger=None):
         self.net = net
         self.tx = tx
@@ -54,6 +56,8 @@ class Trainer:
         self.work_dir = work_dir
         self.collect_keys = collect_keys
         self.eval_start = eval_start
+        self.train_log_img_interval = train_log_img_interval
+        self.val_log_img_interval = val_log_img_interval
         self.logger = logger or setup_logger()
         self.wandb = None
         if use_wandb:
@@ -100,6 +104,9 @@ class Trainer:
                 if self.wandb:
                     self.wandb.log({"Train/total_loss": loss,
                                     "epoch": epoch})
+            if it % self.train_log_img_interval == 0:
+                self.log_images(batch, logs.get("pred"), epoch,
+                                prefix="Train")
 
     def log_images(self, batch: Dict[str, Any], pred, epoch: int,
                    prefix: str = "Train") -> None:
@@ -125,8 +132,18 @@ class Trainer:
         if self.val_loader is None or self.val_fn is None:
             return None
         results = []
-        for batch in self.val_loader:
-            results.append(self.val_fn(self.state, batch))
+        for it, batch in enumerate(self.val_loader):
+            r = self.val_fn(self.state, batch)
+            # val_fn may return (metrics, depth) to enable image panels
+            # (reference trainer.py:152-189 logs every val_log_img_interval)
+            if isinstance(r, tuple):
+                metrics_i, depth = r
+                if it % self.val_log_img_interval == 0:
+                    self.log_images(batch, np.asarray(depth)[None, ..., None],
+                                    epoch, prefix="Val")
+                results.append(metrics_i)
+            else:
+                results.append(r)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             results = multihost_utils.process_allgather(results)

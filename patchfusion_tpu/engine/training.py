@@ -123,7 +123,12 @@ def make_train_step(net: PatchFusionNet, tx: optax.GradientTransformation,
                                frozen=state.frozen, batch_stats=new_stats,
                                opt_state=new_opt)
         logs = {"total_loss": loss, "sig_loss": loss,
-                "grad_norm": optax.global_norm(grads)}
+                "grad_norm": optax.global_norm(grads),
+                # per-crop prediction for the trainer's periodic image
+                # panels (reference trainer.py:246-268); an existing jit
+                # output, so returning it costs no extra compute and it is
+                # only fetched to host at log intervals
+                "pred": pred}
         return new_state, logs
 
     return step

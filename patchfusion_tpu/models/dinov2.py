@@ -38,6 +38,9 @@ VIT_CONFIGS = {
     "vits": dict(embed_dim=384, depth=12, num_heads=6),
     "vitb": dict(embed_dim=768, depth=12, num_heads=12),
     "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
+    # structurally-complete micro variant (tests / sharding dry runs): the
+    # minimum depth is 4 (the DPT head taps the last four blocks)
+    "vitmicro": dict(embed_dim=64, depth=4, num_heads=2),
 }
 
 

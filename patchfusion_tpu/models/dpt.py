@@ -28,6 +28,7 @@ DPT_CONFIGS = {
     "vits": dict(features=64, out_channels=(48, 96, 192, 384)),
     "vitb": dict(features=128, out_channels=(96, 192, 384, 768)),
     "vitl": dict(features=256, out_channels=(256, 512, 1024, 1024)),
+    "vitmicro": dict(features=32, out_channels=(16, 32, 64, 128)),
 }
 
 

@@ -71,3 +71,47 @@ def test_trainer_two_epochs(tmp_path):
     w0 = np.asarray(variables["params"]["fusion_conv_0"]["kernel"])
     w1 = np.asarray(trainer.state.trainable["fusion_conv_0"]["kernel"])
     assert not np.allclose(w0, w1)
+
+
+class FakeWandb:
+    """Captures wandb.log calls (image-panel logging test)."""
+
+    def __init__(self):
+        self.logged = []
+
+    class Image:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+    def log(self, d):
+        self.logged.append(d)
+
+
+def test_trainer_logs_image_panels(tmp_path):
+    """Reference trainer.py:246-268 logs colorized pred/GT/RGB panels during
+    training and validation; verify the panels actually reach wandb.log
+    (round-1 gap: log_images existed but had no call site)."""
+    config = graft._tiny_config()
+    net, tile_cfg = build_patchfusion(config)
+
+    import jax.numpy as jnp
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 42, 56, 3)), jnp.zeros((1, 42, 56, 3)),
+                         jnp.asarray([[0., 0., 56., 42.]]))
+    loader = DataLoader(SyntheticU4K(4), batch_size=2, num_workers=0,
+                        drop_last=True)
+    tx = make_onecycle_optimizer(1e-4, total_steps=2)
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats", {}), tx)
+    step = make_train_step(net, tx)
+    trainer = Trainer(net, tx, state, step, loader, max_epochs=1,
+                      val_interval=10, save_checkpoint_interval=10,
+                      log_interval=1, train_log_img_interval=2,
+                      work_dir=str(tmp_path))
+    trainer.wandb = FakeWandb()
+    trainer.train_epoch(1)
+    panels = [d for d in trainer.wandb.logged if "Train/depth_pred" in d]
+    assert len(panels) == 1  # iters 0..1, interval 2 -> logged at iter 0
+    assert "Train/rgb" in panels[0] and "Train/depth_gt" in panels[0]
+    img = panels[0]["Train/depth_pred"].arr
+    assert img.ndim == 3 and img.shape[-1] in (3, 4)  # colorized

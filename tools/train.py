@@ -175,10 +175,11 @@ def main():
                                      np.asarray(batch["image_hr"])[0],
                                      cai_mode="m1")
             ds = val_loader.dataset
-            return ds.get_metrics(
+            metrics = ds.get_metrics(
                 np.asarray(batch["depth_gt"])[0], np.asarray(depth),
                 disp_gt_edges=np.asarray(batch["boundary"])[0]
                 if "boundary" in batch else None)
+            return metrics, depth
 
     trainer = Trainer(net, tx, state, step_fn, train_loader,
                       val_loader=val_loader, val_fn=val_fn,
@@ -187,6 +188,10 @@ def main():
                       save_checkpoint_interval=tcfg.get(
                           "save_checkpoint_interval", 16),
                       log_interval=tcfg.get("log_interval", 100),
+                      train_log_img_interval=tcfg.get(
+                          "train_log_img_interval", 500),
+                      val_log_img_interval=tcfg.get(
+                          "val_log_img_interval", 50),
                       work_dir=work_dir, use_wandb=args.use_wandb,
                       logger=logger)
     trainer.run()
