@@ -114,6 +114,14 @@ def metric_bins_state_dict(p: Mapping, prefix: str = ""
              p["conditional_log_binomial"]["mlp_0"])
     inv_conv(sd, prefix + "conditional_log_binomial.mlp.2",
              p["conditional_log_binomial"]["mlp_2"])
+    # constant buffers the reference LogBinomial registers
+    # (dist_layers.py:46-49); strict=True loads require them
+    n_bins = sd[prefix + "seed_bin_regressor._net.2.bias"].shape[0]
+    sd[prefix + "conditional_log_binomial.log_binomial_transform.k_idx"] = \
+        np.arange(n_bins, dtype=np.float32).reshape(1, -1, 1, 1)
+    sd[prefix
+       + "conditional_log_binomial.log_binomial_transform.K_minus_1"] = \
+        np.asarray([n_bins - 1], np.float32).reshape(1, -1, 1, 1)
     return sd
 
 

@@ -59,9 +59,15 @@ class FeatureFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, skip: Array = None,
                  size: Tuple[int, int] = None) -> Array:
+        # the reference instantiates resConfUnit1 even in refinenet4 where
+        # the forward never uses it (blocks.py:95-152 / dpt.py:108); feed it
+        # zeros there so the param tree matches the reference checkpoint
+        # layout exactly (XLA dead-code-eliminates the unused compute)
+        rcu1_in = skip if skip is not None else jnp.zeros_like(x)
+        rcu1_out = ResidualConvUnit(self.features, dtype=self.dtype,
+                                    name="rcu1")(rcu1_in)
         if skip is not None:
-            x = x + ResidualConvUnit(self.features, dtype=self.dtype,
-                                     name="rcu1")(skip)
+            x = x + rcu1_out
         x = ResidualConvUnit(self.features, dtype=self.dtype, name="rcu2")(x)
         if size is None:
             size = (x.shape[-3] * 2, x.shape[-2] * 2)

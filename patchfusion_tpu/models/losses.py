@@ -166,13 +166,34 @@ class ErrorLoss:
 
 
 @MODELS.register_module
+def _ranking_edge_maps(gray: Array) -> Tuple[Array, Array]:
+    """Reference getEdge (losses.py:285-300): raw 3x3 sobel, VALID conv,
+    result zero-padded back to full size (border edges/thetas are 0)."""
+    kx = jnp.asarray([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]],
+                     jnp.float32)
+    ky = jnp.asarray([[1., 2., 1.], [0., 0., 0.], [-1., -2., -1.]],
+                     jnp.float32)
+    g = jax.lax.conv_general_dilated(
+        gray[:, None], jnp.stack([kx, ky])[:, None], (1, 1), "VALID")
+    gx, gy = g[:, 0], g[:, 1]
+    pad = ((0, 0), (1, 1), (1, 1))
+    edges = jnp.pad(jnp.sqrt(gx ** 2 + gy ** 2), pad)
+    thetas = jnp.pad(jnp.arctan2(gy, gx), pad)
+    return edges, thetas
+
+
 class EdgeguidedRankingLoss:
     """Edge-guided ranking loss (reference losses.py:255-539), JAX-native:
-    sample anchor points on image edges, form 3 point pairs per anchor along
-    the edge normal, and apply a ratio-thresholded ranking loss. Sampling is
-    static-shape (fixed point_pairs with validity masking) and driven by an
-    explicit PRNG key instead of ambient torch RNG — behaviorally equivalent
-    (the loss is stochastic by construction), not bit-identical.
+    sample anchor points on image edges, walk 4 points along the edge
+    normal (or its 90-degree rotation, coin-flipped per image), and apply a
+    ratio-thresholded ranking loss on the chained pairs (a,b),(b,c),(c,d).
+
+    Sampling is static-shape (fixed point_pairs with validity masking) and
+    driven by an explicit PRNG key instead of ambient torch RNG; the anchor
+    distribution (uniform over masked edge pixels) matches the reference's
+    randint-over-nonzero. For parity testing, `anchor_rc`/`dist`/`direct_p`
+    inject the exact samples the reference drew
+    (tests/test_losses_extra.py).
     """
 
     def __init__(self, point_pairs: int = 10000, sigma: float = 0.03,
@@ -189,10 +210,18 @@ class EdgeguidedRankingLoss:
         self.min_depth = min_depth
         self.max_depth = max_depth
         self.missing_value = missing_value
+        self.random_direct = random_direct
 
     def __call__(self, inputs: Array, targets: Array, images: Array,
-                 depth_gt: Array, key: Array) -> Array:
-        """inputs/targets/depth_gt (B,H,W,1); images (B,H,W,3)."""
+                 depth_gt: Array, key: Optional[Array] = None,
+                 anchor_rc: Optional[Array] = None,
+                 dist: Optional[Array] = None,
+                 direct_p: Optional[Array] = None) -> Array:
+        """inputs/targets/depth_gt (B,H,W,1); images (B,H,W,3).
+
+        anchor_rc (B,n_s,2) int (row, col) anchors, dist (B,4,n_s) in
+        [2,30], direct_p (B,) in [0,1): optional injected samples replacing
+        the PRNG draws (reference losses.py:321-322,337,346)."""
         hw = inputs.shape[1:3]
         targets = interpolate(targets, hw, mode="bilinear",
                               align_corners=True)
@@ -204,42 +233,49 @@ class EdgeguidedRankingLoss:
 
         strict = (depth_gt > self.min_depth) & (depth_gt < self.max_depth)
         strict = strict & (targets != 80)
+        edges, thetas = _ranking_edge_maps(images[..., 0])
         if self.only_missing_area:
-            anchor_ok = depth_gt == self.missing_value
+            anchor_ok = (depth_gt == self.missing_value)[..., 0]
         else:
-            edges = _sobel_grad_map(images[..., :1])
-            emax = jnp.max(edges, axis=(1, 2, 3), keepdims=True)
-            anchor_ok = (edges >= 0.1 * emax) & strict
-        gx = jax.lax.conv_general_dilated(
-            jnp.pad(images[..., 0], ((0, 0), (1, 1), (1, 1)),
-                    mode="constant")[:, None],
-            jnp.asarray([[[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]],
-                        jnp.float32)[None], (1, 1), "VALID")[:, 0]
-        gy = jax.lax.conv_general_dilated(
-            jnp.pad(images[..., 0], ((0, 0), (1, 1), (1, 1)),
-                    mode="constant")[:, None],
-            jnp.asarray([[[1, 2, 1], [0, 0, 0], [-1, -2, -1]]],
-                        jnp.float32)[None], (1, 1), "VALID")[:, 0]
-        thetas = jnp.arctan2(gy, gx)
+            emax = jnp.max(edges, axis=(1, 2), keepdims=True)
+            anchor_ok = (edges >= 0.1 * emax) & strict[..., 0]
 
         n_s = self.point_pairs
-        keys = jax.random.split(key, 3)
-        # sample anchors: categorical over the anchor mask
-        logits = jnp.where(anchor_ok[..., 0].reshape(b, -1), 0.0, -1e9)
-        flat_idx = jax.random.categorical(keys[0], logits, axis=-1,
-                                          shape=(n_s, b)).T  # (B, n_s)
-        ah = flat_idx // w
-        aw = flat_idx % w
-        theta_a = jnp.take_along_axis(
-            thetas.reshape(b, -1), flat_idx, axis=1)
-        dist = jax.random.randint(keys[1], (4, n_s), 2, 31).astype(
-            jnp.float32)
-        sign = jnp.asarray([-1., -1., 1., 1.])[:, None]
-        dist = dist * sign
+        if anchor_rc is None:
+            keys = jax.random.split(key, 3)
+            # uniform over masked pixels == the reference's randint over
+            # the nonzero-location list (losses.py:320-322)
+            logits = jnp.where(anchor_ok.reshape(b, -1), 0.0, -1e9)
+            flat_idx = jax.random.categorical(keys[0], logits, axis=-1,
+                                              shape=(n_s, b)).T  # (B, n_s)
+            ah, aw = flat_idx // w, flat_idx % w
+            dist = jax.random.randint(keys[1], (b, 4, n_s), 2, 31).astype(
+                jnp.float32)
+            direct_p = jax.random.uniform(keys[2], (b,))
+        else:
+            ah = anchor_rc[..., 0]
+            aw = anchor_rc[..., 1]
+            flat_idx = ah * w + aw
+            dist = dist.astype(jnp.float32)
+            if not self.random_direct:
+                direct_p = jnp.zeros((b,))
+
+        theta_a = jnp.take_along_axis(thetas.reshape(b, -1), flat_idx,
+                                      axis=1)
+        sign = jnp.asarray([-1., -1., 1., 1.])[None, :, None]
+        sdist = dist * sign  # (B, 4, n_s)
+
+        # two direction branches (reference losses.py:346-360): p < 0.5
+        # walks along theta; otherwise along theta + pi/2 (with the
+        # reference's literal sin/cos swap after wrapping)
+        th2 = jnp.mod(theta_a + jnp.pi + jnp.pi / 2, 2 * jnp.pi) - jnp.pi
+        use_rot = (direct_p >= 0.5) & self.random_direct
+        dcol = jnp.where(use_rot[:, None], jnp.sin(th2), jnp.cos(theta_a))
+        drow = jnp.where(use_rot[:, None], jnp.cos(th2), jnp.sin(theta_a))
         col = aw[:, None, :] + jnp.round(
-            dist[None] * jnp.cos(theta_a)[:, None, :]).astype(jnp.int32)
+            sdist * dcol[:, None, :]).astype(jnp.int32)
         row = ah[:, None, :] + jnp.round(
-            dist[None] * jnp.sin(theta_a)[:, None, :]).astype(jnp.int32)
+            sdist * drow[:, None, :]).astype(jnp.int32)
         valid = ((col >= 0) & (col <= w - 1) & (row >= 0)
                  & (row <= h - 1)).all(axis=1)  # (B, n_s)
         col = jnp.clip(col, 0, w - 1)
@@ -253,17 +289,19 @@ class EdgeguidedRankingLoss:
 
         inp = gather(inputs[..., 0])
         tgt = gather(targets[..., 0])
-        # pairs: (p0 vs p1), (p0 vs p2), (p0 vs p3) — reference cats b,c,d
-        ia = jnp.concatenate([inp[:, 0]] * 3, axis=-1)
+        # chained pairs A=(a,b,c), B=(b,c,d) — reference losses.py:419-420
+        ia = jnp.concatenate([inp[:, 0], inp[:, 1], inp[:, 2]], axis=-1)
         ib = jnp.concatenate([inp[:, 1], inp[:, 2], inp[:, 3]], axis=-1)
-        ta = jnp.concatenate([tgt[:, 0]] * 3, axis=-1)
+        ta = jnp.concatenate([tgt[:, 0], tgt[:, 1], tgt[:, 2]], axis=-1)
         tb = jnp.concatenate([tgt[:, 1], tgt[:, 2], tgt[:, 3]], axis=-1)
         vm = jnp.concatenate([valid] * 3, axis=-1).astype(jnp.float32)
 
         ratio = (ta + 1e-6) / (tb + 1e-6)
-        weight = jnp.abs(ta - tb) / (
-            jnp.max(jnp.abs(ta - tb), axis=-1, keepdims=True) + 1e-6)
-        weight = jnp.exp(weight)
+        # weight max over KEPT pairs only (the reference removes invalid
+        # columns before the max, losses.py:366-369,516)
+        absdiff = jnp.abs(ta - tb)
+        wmax = jnp.max(absdiff * vm, axis=-1, keepdims=True)
+        weight = jnp.exp(absdiff / (wmax + 1e-6))
         eq = (ratio < 1.0 + self.sigma) & (ratio > 1.0 / (1.0 + self.sigma))
         labels = jnp.where(ratio >= 1.0 + self.sigma, 1.0,
                            jnp.where(ratio <= 1.0 / (1.0 + self.sigma),

@@ -385,3 +385,21 @@ def build_zoedepth(core_type="vits", seed=0):
         os.chdir(cwd)
     model.eval()
     return model
+
+
+def load_ref_losses():
+    """Reference estimator/models/losses.py module (for loss parity tests),
+    loaded file-directly with stubbed deps."""
+    install_stubs()
+
+    class _Reg:
+        def register_module(self, cls=None, **kw):
+            if cls is not None:
+                return cls
+            return lambda c: c
+
+    for name in ["estimator", "estimator.models"]:
+        _stub(name)
+    _stub("estimator.registry", MODELS=_Reg(), DATASETS=_Reg())
+    return _load_module("estimator.models.losses",
+                        REF + "/estimator/models/losses.py")
