@@ -62,10 +62,9 @@ class Tester:
                 self.logger.info("tested %d/%d", i + 1,
                                  len(self.dataloader))
 
+        if jax.process_count() > 1:
+            from patchfusion_tpu.parallel.gather import gather_metric_dicts
+            results = gather_metric_dicts(results)
         if not results:
             return {}
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            gathered = multihost_utils.process_allgather(results)
-            results = gathered
         return dataset.evaluate(results, logger=self.logger)

@@ -145,8 +145,8 @@ class Trainer:
             else:
                 results.append(r)
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            results = multihost_utils.process_allgather(results)
+            from patchfusion_tpu.parallel.gather import gather_metric_dicts
+            results = gather_metric_dicts(results)
         metrics = self.val_loader.dataset.evaluate(results,
                                                    logger=self.logger)
         if self.wandb:

@@ -1,0 +1,64 @@
+"""Cross-process metric gathering — the TPU-native replacement for the
+reference's `collect_results_gpu` (estimator/tester/tester.py:93,
+trainer.py:193): every eval rank holds a ragged list of per-image metric
+dicts; rank-major concatenation must reach every process before
+`dataset.evaluate`.
+
+Unlike a naive `process_allgather(list_of_dicts)` — whose pytree structure
+(and so its compiled program) silently requires every rank to hold the SAME
+number of results — this packs the dicts into one fixed-key float array,
+pads the ragged per-rank counts to the max, gathers counts + payload as two
+dense arrays, and trims. Safe for uneven eval shards (e.g. 77 val images on
+8 hosts).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def gather_metric_dicts(results: List[Dict[str, float]],
+                        keys: Optional[Sequence[str]] = None
+                        ) -> List[Dict[str, float]]:
+    """-> rank-major concatenation of every process's `results`.
+
+    keys: the canonical metric-name order (must be identical on every
+    process; defaults to the sorted keys of the local results). Missing
+    entries become NaN — matching pre_eval_to_metrics' nanmean handling
+    (data/u4k.py)."""
+    if keys is None:
+        keys = sorted({k for r in results for k in r})
+    if jax.process_count() == 1:
+        return [{k: float(r.get(k, np.nan))
+                 if r.get(k) is not None else float("nan") for k in keys}
+                for r in results]
+
+    from jax.experimental import multihost_utils
+
+    n = len(results)
+    k = len(keys)
+    arr = np.full((n, k), np.nan, np.float32)
+    for i, r in enumerate(results):
+        for j, key in enumerate(keys):
+            v = r.get(key)
+            arr[i, j] = np.nan if v is None else float(v)
+
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n], np.int32))).reshape(-1)
+    m = int(counts.max())
+    if m == 0:
+        return []
+    padded = np.full((m, k), np.nan, np.float32)
+    padded[:n] = arr
+    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    stacked = stacked.reshape(len(counts), m, k)
+
+    out: List[Dict[str, float]] = []
+    for p in range(len(counts)):
+        for i in range(int(counts[p])):
+            out.append({key: float(stacked[p, i, j])
+                        for j, key in enumerate(keys)})
+    return out
