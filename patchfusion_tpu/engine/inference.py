@@ -205,10 +205,12 @@ class PatchFusionInference:
         return _chunked(run, arrays, self.process_num)[:n_tiles]
 
     def _coarse_ctx(self, variables, image_lr):
+        if not self.fusion:
+            # fine-only (BaselinePretrain) engines never consume the coarse
+            # pass — skip it instead of computing and discarding it
+            return None
         coarse_depth, coarse_feats = self.net.apply(
             variables, image_lr, method=PatchFusionNet.coarse_forward)
-        if not self.fusion:
-            return None
         g2l_feats = self.net.apply(variables, coarse_feats,
                                    method=PatchFusionNet.attend_coarse)
         return coarse_depth, coarse_feats, g2l_feats

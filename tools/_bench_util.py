@@ -1,0 +1,58 @@
+"""Timing helpers that survive the remote-TPU (axon) tunnel.
+
+Two problems with naive timing here:
+  * `block_until_ready` can return before execution finishes — fence by
+    reading back a scalar that depends on the whole output;
+  * every dispatch+readback pays a ~tens-of-ms host<->device round trip,
+    which swamps sub-100ms measurements.
+
+`device_time` solves both: it runs `inner` iterations of the op INSIDE one
+jit program (lax.scan with a forced data dependency between iterations so
+XLA cannot CSE or parallelize them), fences once, and divides. The reported
+time is pure device time per iteration plus RTT/inner.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def fetch(out) -> float:
+    """Host readback of a scalar depending on the whole (pytree) output."""
+    acc = 0.0
+    for leaf in jax.tree.leaves(out):
+        acc = acc + jnp.sum(jnp.abs(jnp.ravel(leaf)[:1]).astype(jnp.float32))
+    return float(acc)
+
+
+def device_time(fn, args, inner: int = 10, repeats: int = 3) -> float:
+    """Median per-iteration device time of fn(*args).
+
+    fn's first argument must be an array (the dependency is threaded through
+    it); remaining args are closed over unchanged.
+    """
+    first, rest = args[0], args[1:]
+
+    @jax.jit
+    def loop(x0):
+        def body(carry, _):
+            x, _prev = carry
+            out = fn(x, *rest)
+            leaf = jax.tree.leaves(out)[0]
+            dep = jnp.ravel(leaf)[0].astype(x.dtype) * 0
+            # nudge the input by a value XLA can't constant-fold away:
+            # serializes iterations, keeps numerics identical (adds 0)
+            return (x + dep, jnp.ravel(leaf)[0].astype(jnp.float32)), None
+        (xf, last), _ = jax.lax.scan(body, (x0, jnp.zeros((), jnp.float32)),
+                                     None, length=inner)
+        return last
+
+    fetch(loop(first))  # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fetch(loop(first))
+        ts.append((time.time() - t0) / inner)
+    ts.sort()
+    return ts[len(ts) // 2]

@@ -24,14 +24,20 @@ PEAK_TFLOPS = {"tpu": 197.0,   # v5e bf16
                "cpu": None}
 
 
-def timed(fn, args, iters=10):
-    out = fn(*args)
+def _fetch(out):
+    """Force completion by pulling a scalar to the host: through the remote
+    (axon) tunnel block_until_ready returns early, so device->host readback
+    of a value that depends on the whole output is the only reliable fence."""
     import jax
-    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    return float(leaf.sum() if hasattr(leaf, "sum") else leaf)
+
+
+def timed(fn, args, iters=10):
+    _fetch(fn(*args))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _fetch(fn(*args))
     return (time.time() - t0) / iters
 
 
