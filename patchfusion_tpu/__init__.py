@@ -20,4 +20,17 @@ Design principles (TPU-first, not a torch port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compile cache for every entry point (CLI tools, tests,
+# subprocess smokes): full-scale programs take minutes to compile; cache
+# keys include platform+version so one directory serves CPU and TPU. Set
+# before any jax backend init (importing this package precedes jax use in
+# all tools). Opt out with JAX_COMPILATION_CACHE_DIR="".
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 from patchfusion_tpu.config import Config, ConfigDict  # noqa: F401

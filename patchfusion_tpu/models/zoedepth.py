@@ -244,11 +244,7 @@ class ConditionalLogBinomial(nn.Module):
         self.mlp_0 = nn.Conv(bottleneck, (1, 1), dtype=self.dtype)
         self.mlp_2 = nn.Conv(4, (1, 1), dtype=self.dtype)
 
-    def params_pt(self, x: Array, cond: Array) -> Tuple[Array, Array]:
-        """(p, t_norm) per pixel, both (B, H, W), t_norm pre temp-scaling —
-        the inputs of the fused log-binomial kernel (ops/pallas_head.py)."""
-        h = jnp.concatenate([x, cond], axis=-1)
-        h = self.mlp_0(h)
+    def _pt_tail(self, h: Array) -> Tuple[Array, Array]:
         h = jax.nn.gelu(h, approximate=False)
         h = self.mlp_2(h)
         pt = jax.nn.softplus(h.astype(jnp.float32))
@@ -257,6 +253,41 @@ class ConditionalLogBinomial(nn.Module):
         t = pt[..., 2:] + self.p_eps
         t = t[..., 0] / (t[..., 0] + t[..., 1])
         return p, t
+
+    def params_pt(self, x: Array, cond: Array) -> Tuple[Array, Array]:
+        """(p, t_norm) per pixel, both (B, H, W), t_norm pre temp-scaling —
+        the inputs of the fused log-binomial kernel (ops/pallas_head.py)."""
+        h = jnp.concatenate([x, cond], axis=-1)
+        h = self.mlp_0(h)
+        return self._pt_tail(h)
+
+    def params_pt_lowres(self, x_hi: Array, cond_lo: Array
+                         ) -> Tuple[Array, Array]:
+        """params_pt with the condition's bilinear upsample commuted past
+        mlp_0's linear map: mlp_0(cat(x, up(c))) = A·x + up(B·c) + bias,
+        exact up to bf16/f32 reassociation, because the align_corners
+        upsample is linear per channel and the 1x1 conv is linear per
+        pixel. The condition is projected to the bottleneck at LOW
+        resolution and upsampled once — replacing the reference's full-res
+        condition_dim-channel upsample + full-res concat conv
+        (dist_layers.py:108-113). bf16 inference path only.
+        """
+        from patchfusion_tpu.ops.resize import interpolate
+        nin = x_hi.shape[-1]
+        # shape-only call so the param tree is identical to params_pt's
+        # (XLA dead-code-eliminates the compute)
+        _ = self.mlp_0(jnp.zeros((1, 1, 1, nin + cond_lo.shape[-1]),
+                                 x_hi.dtype))
+        kern = self.mlp_0.variables["params"]["kernel"][0, 0]
+        bias = self.mlp_0.variables["params"]["bias"]
+        dt = x_hi.dtype
+        a = jnp.einsum("bhwc,cf->bhwf", x_hi, kern[:nin].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        b = jnp.einsum("bhwc,cf->bhwf", cond_lo, kern[nin:].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        b = interpolate(b, x_hi.shape[1:3], mode="bilinear",
+                        align_corners=True)
+        return self._pt_tail(a + b + bias.astype(dt))
 
     def __call__(self, x: Array, cond: Array) -> Array:
         p, t = self.params_pt(x, cond)
@@ -360,8 +391,6 @@ class MetricBinsHead(nn.Module):
                                align_corners=True)
         last_cat = jnp.concatenate([last, rel_cond.astype(last.dtype)],
                                    axis=-1)
-        b_embedding = interpolate(b_embedding, last.shape[1:3],
-                                  mode="bilinear", align_corners=True)
         clb = ConditionalLogBinomial(
             self.last_in, self.bin_embedding_dim, self.n_bins,
             self.min_temp, self.max_temp, dtype=self.dtype,
@@ -377,14 +406,17 @@ class MetricBinsHead(nn.Module):
             # the right precision for the bf16 inference path but would
             # degrade a full-f32 run (f32 runs keep the exact unfused path)
             # fused pallas stage: centers upsample + log-binomial softmax +
-            # expectation in one HBM pass (ops/pallas_head.py)
-            p, tn = clb.params_pt(last_cat, b_embedding)
+            # expectation in one HBM pass (ops/pallas_head.py); condition
+            # projection commuted to low res (params_pt_lowres)
+            p, tn = clb.params_pt_lowres(last_cat, b_embedding)
             depth = logbinomial_depth(p, tn, b_centers, self.min_temp,
                                       self.max_temp,
                                       block_rows=br)[..., None]
             return {"metric_depth": depth, "bin_centers": b_centers,
                     "b_embedding": b_embedding, "probs": None}
 
+        b_embedding = interpolate(b_embedding, last.shape[1:3],
+                                  mode="bilinear", align_corners=True)
         probs = clb(last_cat, b_embedding)
         b_centers = interpolate(b_centers, probs.shape[1:3], mode="bilinear",
                                 align_corners=True)

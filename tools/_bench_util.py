@@ -12,6 +12,7 @@ XLA cannot CSE or parallelize them), fences once, and divides. The reported
 time is pure device time per iteration plus RTT/inner.
 """
 
+import functools
 import time
 
 import jax
@@ -34,8 +35,8 @@ def device_time(fn, args, inner: int = 10, repeats: int = 3) -> float:
     """
     first, rest = args[0], args[1:]
 
-    @jax.jit
-    def loop(x0):
+    @functools.partial(jax.jit, static_argnums=())
+    def loop(x0, *rest):
         def body(carry, _):
             x, _prev = carry
             out = fn(x, *rest)
@@ -48,11 +49,11 @@ def device_time(fn, args, inner: int = 10, repeats: int = 3) -> float:
                                      None, length=inner)
         return last
 
-    fetch(loop(first))  # compile + warm
+    fetch(loop(first, *rest))  # compile + warm
     ts = []
     for _ in range(repeats):
         t0 = time.time()
-        fetch(loop(first))
+        fetch(loop(first, *rest))
         ts.append((time.time() - t0) / inner)
     ts.sort()
     return ts[len(ts) // 2]
