@@ -176,6 +176,35 @@ class PatchFusionInference:
             return _chunked(run, [crops], self.process_num)[:n_tiles]
 
         coarse_depth, coarse_feats, g2l_feats = coarse_ctx
+        if self.process_num is not None and n_tiles > self.process_num:
+            # chunk-local ROI: materializing the ROI pyramids for ALL tiles
+            # up front costs multi-GB of live HBM at full tile counts (the
+            # (49,224,296,C) levels alone are ~1.5 GB each) and caps the
+            # chunk size the chip can hold. Gathering each chunk's ROIs
+            # inside the lax.map body from the single whole-image feature
+            # copy keeps only process_num tiles' features live — this is
+            # what lets process_num=16 (the fastest measured chunk) fit.
+            # The dynamic-box roi path is numerically identical to the
+            # static-grid specialization (ops/roi_align.py).
+            boxes_raw = jnp.concatenate([
+                origins_raw[:, 1:2], origins_raw[:, 0:1],
+                origins_raw[:, 1:2] + tc.patch_raw_shape[1],
+                origins_raw[:, 0:1] + tc.patch_raw_shape[0]],
+                axis=1).astype(jnp.float32)
+            boxes_p = tc.bbox_to_process(boxes_raw)
+
+            def run_local(crop_chunk, box_chunk):
+                droi, frois, grois = self.net.apply(
+                    variables, coarse_depth, coarse_feats, g2l_feats,
+                    box_chunk, method=PatchFusionNet.coarse_postprocess)
+                depth = self.net.apply(
+                    variables, crop_chunk, frois, grois, droi,
+                    method=PatchFusionNet.infer_tiles)
+                return depth[..., 0]
+
+            return _chunked(run_local, [crops, boxes_p],
+                            self.process_num)[:n_tiles]
+
         if static_grids is not None:
             def cat_rois(feats):
                 per_level = [self._grid_rois(feats, oh, ow)

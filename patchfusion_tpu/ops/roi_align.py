@@ -152,11 +152,22 @@ def roi_align_single(feat: Array, boxes: Array, out_h: int, out_w: int,
         raise ValueError("pass a static sampling_ratio (PatchFusion boxes "
                          "share one size; grid = ceil(roi/out))")
     if int(sampling_ratio) == 1:
-        # hot path (every PatchFusion call site): 2-tap gather+lerp per
-        # axis — memory-bound VPU work instead of an O(H)-wide MXU
-        # contraction per output pixel. bf16 activations stay bf16.
-        f32 = feat if feat.dtype == jnp.bfloat16 else \
-            feat.astype(jnp.float32)
+        if feat.dtype == jnp.bfloat16:
+            # bf16 hot path: per-box banded weight matrices contracted on
+            # the MXU (f32 accumulation). Dynamic-index gathers from traced
+            # box coords serialize on TPU; the dense contraction streams —
+            # same tradeoff as ops/resize.py's dense path, same sampling
+            # arithmetic as the taps (weights built by _axis_weights with
+            # grid=1 are exactly the 2-tap hat weights).
+            wy = _axis_weights(y1, roi_h, out_h, 1, h).astype(jnp.bfloat16)
+            wx = _axis_weights(x1, roi_w, out_w, 1, w).astype(jnp.bfloat16)
+            out = jnp.einsum("nph,hwc->npwc", wy, feat,
+                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("npwc,nqw->npqc", out.astype(jnp.bfloat16), wx,
+                             preferred_element_type=jnp.float32)
+            return out.astype(feat.dtype)
+        # f32: 2-tap gather+lerp, bit-matching torchvision's arithmetic
+        f32 = feat.astype(jnp.float32)
         cy, vy = _tap_coords(y1, roi_h, out_h, h)
         rows = _lerp_axis_single(f32, cy, vy, axis_is_w=False)
         cx, vx = _tap_coords(x1, roi_w, out_w, w)
@@ -195,8 +206,17 @@ def roi_align_batched(feat: Array, boxes: Array, out_h: int, out_w: int,
     if sampling_ratio is None:
         raise ValueError("pass a static sampling_ratio")
     if int(sampling_ratio) == 1:
-        f32 = feat if feat.dtype == jnp.bfloat16 else \
-            feat.astype(jnp.float32)
+        if feat.dtype == jnp.bfloat16:
+            # bf16 hot path: banded-matrix MXU contraction (see
+            # roi_align_single)
+            wy = _axis_weights(y1, roi_h, out_h, 1, h).astype(jnp.bfloat16)
+            wx = _axis_weights(x1, roi_w, out_w, 1, w).astype(jnp.bfloat16)
+            out = jnp.einsum("nph,nhwc->npwc", wy, feat,
+                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("npwc,nqw->npqc", out.astype(jnp.bfloat16), wx,
+                             preferred_element_type=jnp.float32)
+            return out.astype(feat.dtype)
+        f32 = feat.astype(jnp.float32)
         cy, vy = _tap_coords(y1, roi_h, out_h, h)
         i0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, h - 1)
         i1 = jnp.minimum(i0 + 1, h - 1)
