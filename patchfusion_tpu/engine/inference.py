@@ -50,6 +50,14 @@ def crop_resize_tiles(image_hr: Array, origins: Array,
                                      (th, tw, image_hr.shape[-1]))
 
     crops = jax.vmap(one)(origins)
+    if crops.dtype == jnp.float32:
+        # every consumer (both branches' first convs, the fusion U-Net
+        # input) immediately casts to bf16 — resizing in bf16 rides the
+        # dense MXU path (ops/resize.py) and is within the bf16 compute
+        # contract; f32 inputs (CPU parity tests) keep the exact tap path
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            crops = crops.astype(jnp.bfloat16)
     return interpolate(crops, process_shape, mode="bilinear",
                        align_corners=True)
 

@@ -39,7 +39,12 @@ def device_time(fn, args, inner: int = 10, repeats: int = 3) -> float:
     def loop(x0, *rest):
         def body(carry, _):
             x, _prev = carry
-            out = fn(x, *rest)
+            # optimization_barrier ties EVERY argument to the loop-varying
+            # carry: without it XLA hoists subgraphs that depend only on
+            # loop-invariant args out of the scan and the measurement
+            # undercounts (observed 10x for multi-input modules)
+            x_it, *rest_it = jax.lax.optimization_barrier((x, *rest))
+            out = fn(x_it, *rest_it)
             leaf = jax.tree.leaves(out)[0]
             dep = jnp.ravel(leaf)[0].astype(x.dtype) * 0
             # nudge the input by a value XLA can't constant-fold away:
