@@ -77,6 +77,10 @@ class Trainer:
         self.data_sharding = NamedSharding(self.mesh, P("data"))
         self.repl = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, self.repl)
+        # NOTE: the state is deliberately NOT donated here — the in-training
+        # validation engine holds references to the frozen-branch arrays, and
+        # donation would invalidate them mid-run. tools/profile_train.py
+        # donates (no aliases there) and measures the ~3 GB saving.
         self._step = jax.jit(train_step,
                              out_shardings=(self.repl, self.repl))
 

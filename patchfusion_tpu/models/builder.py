@@ -66,6 +66,7 @@ def build_patchfusion(config: Dict[str, Any], dtype=jnp.float32
         min_depth=config["min_depth"],
         max_depth=config["max_depth"],
         patch_process_shape=tuple(config["patch_process_shape"]),
+        remat=bool(config.get("train_remat", False)),
         dtype=dtype)
     return net, tile_cfg
 

@@ -84,28 +84,37 @@ class GuidedFusion(nn.Module):
                                   28 * 37, 14 * 19)
     g2l: bool = True
     window: int = 12
+    # rematerialize every conv block / G2L stage in the backward pass:
+    # the U-Net's full-res f32 interiors dominate training-step HBM (a
+    # batch-4 vitl step needs 42 GB without remat vs 16 GB on a v5e chip);
+    # param tree is unchanged (nn.remat is a lift transform)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         inv = list(self.in_channels)[::-1]
-        self.inc = DoubleConvBN(self.in_channels[0], dtype=self.dtype)
-        self.downs = [DoubleConvBN(self.in_channels[i + 1], dtype=self.dtype,
-                                   name=f"down_{i}")
+        CBN = nn.remat(DoubleConvBN, static_argnums=(2,)) \
+            if self.remat else DoubleConvBN
+        CWO = nn.remat(DoubleConvWOBN) if self.remat else DoubleConvWOBN
+        G2L = nn.remat(G2LFusion) if self.remat else G2LFusion
+        self.inc = CBN(self.in_channels[0], dtype=self.dtype)
+        self.downs = [CBN(self.in_channels[i + 1], dtype=self.dtype,
+                          name=f"down_{i}")
                       for i in range(len(self.in_channels) - 1)]
-        self.ups = [DoubleConvWOBN(
+        self.ups = [CWO(
             inv[i], mid=inv[i] + 2 * inv[i - 1], dtype=self.dtype,
             name=f"up_{i - 1}") for i in range(1, len(inv))]
         if self.g2l:
             heads_inv = list(self.num_heads)[::-1]
             depth_inv = list(self.depth)[::-1]
             np_inv = list(self.num_patches)[::-1]
-            self.g2l_list = [G2LFusion(
+            self.g2l_list = [G2L(
                 embed_dim=inv[i], window=self.window, num_heads=heads_inv[i],
                 depth=depth_inv[i], num_patches=np_inv[i], dtype=self.dtype,
                 name=f"g2l_{i}") for i in range(len(inv))]
-        self.fuse_convs = [DoubleConvWOBN(inv[i], mid=inv[i],
-                                          dtype=self.dtype,
-                                          name=f"fuse_{i}")
+        self.fuse_convs = [CWO(inv[i], mid=inv[i],
+                               dtype=self.dtype,
+                               name=f"fuse_{i}")
                            for i in range(len(inv))]
 
     def attend_coarse(self, coarse_feats: List[Array]) -> List[Array]:
@@ -125,11 +134,11 @@ class GuidedFusion(nn.Module):
         output[::-1], consumed by the PatchFusion metric head).
         """
         feats = []
-        x = self.inc(input_tensor, train=train)
+        x = self.inc(input_tensor, train)
         feats.append(x)
         for down in self.downs:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = down(x, train=train)
+            x = down(x, train)
             feats.append(x)
 
         outputs = []

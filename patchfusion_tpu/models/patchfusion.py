@@ -116,6 +116,9 @@ class PatchFusionNet(nn.Module):
     min_depth: float = 1e-3
     max_depth: float = 80.0
     patch_process_shape: Tuple[int, int] = (392, 518)
+    # rematerialize the trainable fusion stage in the backward pass (see
+    # GuidedFusion.remat); inference is unaffected, param tree unchanged
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -129,9 +132,11 @@ class PatchFusionNet(nn.Module):
             nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                     name=f"fusion_conv_{i}")
             for i, ch in enumerate(chans)]
-        self.fusion = GuidedFusion(**self.guided_fusion, dtype=self.dtype)
+        self.fusion = GuidedFusion(**self.guided_fusion, remat=self.remat,
+                                   dtype=self.dtype)
         cb = self.coarse_branch
-        self.head = MetricBinsHead(
+        Head = nn.remat(MetricBinsHead) if self.remat else MetricBinsHead
+        self.head = Head(
             n_bins=cb.n_bins, bin_embedding_dim=cb.bin_embedding_dim,
             min_depth=self.min_depth, max_depth=self.max_depth,
             n_attractors=cb.n_attractors, attractor_alpha=cb.attractor_alpha,
@@ -139,7 +144,7 @@ class PatchFusionNet(nn.Module):
             attractor_kind=cb.attractor_kind,
             attractor_type=cb.attractor_type,
             bin_centers_type=cb.bin_centers_type, min_temp=cb.min_temp,
-            max_temp=cb.max_temp, dtype=self.dtype)
+            max_temp=cb.max_temp, dtype=self.dtype, name="head")
 
     # -- branch passes ------------------------------------------------------
 
