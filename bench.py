@@ -177,13 +177,25 @@ def main():
     float(d.mean())
     print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
+    # latency: fence every image (includes the host round trip)
     times = []
     for _ in range(iters):
         t0 = time.time()
         d = engine.infer(lr, img, cai_mode=mode)
         float(d.mean())
         times.append(time.time() - t0)
-    dt = float(np.median(times))
+    lat = float(np.median(times))
+    print(f"per-image latency: {lat * 1e3:.0f} ms", file=sys.stderr,
+          flush=True)
+    # throughput (the reported metric): keep the pipeline fed — dispatch
+    # all iterations asynchronously, fence once at the end. Device compute
+    # is serial on one chip; this only hides the per-image host RTT, which
+    # a production serving loop would also hide.
+    t0 = time.time()
+    outs = [engine.infer(lr, img, cai_mode=mode) for _ in range(iters)]
+    for d in outs:
+        float(d.mean())
+    dt = (time.time() - t0) / iters
     img_per_s = 1.0 / dt
     paper_mode = {"m1": "p16", "m2": "p49"}.get(mode, mode)
     print(json.dumps({
