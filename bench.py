@@ -101,11 +101,11 @@ def main():
     dtype_s = os.environ.get("BENCH_DTYPE", "bf16")
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     # whole-pass batches (process_num=None) have no padding waste but
-    # vitl at batch 49 exceeds v5e HBM; 16-tile chunks are the measured
-    # sweet spot (42.7 ms/tile vs 46.7 at 8, 50.2 at 12) and fit since
+    # vitl/vitb at batch 49 exceed v5e HBM; 16-tile chunks are the measured
+    # vitl sweet spot (42.7 ms/tile vs 46.7 at 8, 50.2 at 12) and fit since
     # ROI pyramids became chunk-local
-    default_pn = "16" if os.environ.get("BENCH_CORE", "vitl") == "vitl" \
-        else "0"
+    default_pn = "0" if os.environ.get("BENCH_CORE", "vitl") == "vits" \
+        else "16"
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", default_pn)) \
         or None
     dtype = jnp.bfloat16 if dtype_s == "bf16" else jnp.float32
