@@ -265,6 +265,159 @@ def fusion_only_params(sd: Mapping[str, Any],
 
 
 # ---------------------------------------------------------------------------
+# BEiT / MiDaS DPT (the `patchfusion_zoedepth` family)
+# ---------------------------------------------------------------------------
+# Torch naming is the published MiDaS v3.1 layout the reference loads from
+# torch.hub (midas.py:340): pretrained.model.* (timm-style BEiT),
+# pretrained.act_postprocessN.* (readout/project/resize) and scratch.*
+# (refinenets + output head). tests/torch_ref.py:build_midas_beit is the
+# in-repo naming authority + activation oracle.
+
+def resample_beit_rel_pos_table(table: np.ndarray,
+                                old_grid: Tuple[int, int],
+                                new_grid: Tuple[int, int]) -> np.ndarray:
+    """Resample a BEiT relative-position-bias table
+    ((2h0-1)*(2w0-1)+3, heads) -> ((2h1-1)*(2w1-1)+3, heads).
+
+    models/beit.py sizes the table for the STATIC trace-time grid, so
+    importing weights trained at another grid (e.g. the published 24x24 of
+    beit_large_patch16_384 into the 24x32 grid of the 384x512 process shape)
+    needs a one-time host-side resample. Rows are stored h-major
+    (index = dh*(2w-1)+dw); the offset grid is bilinearly interpolated with
+    F.interpolate semantics (align_corners=False) — the convention MiDaS
+    v3.1 itself applies at runtime for non-384 inputs — and the 3 special
+    cls rows pass through unchanged. Identity when the grids match."""
+    if tuple(old_grid) == tuple(new_grid):
+        return np.asarray(table)
+    import torch
+    import torch.nn.functional as F
+    oh, ow = 2 * old_grid[0] - 1, 2 * old_grid[1] - 1
+    nh, nw = 2 * new_grid[0] - 1, 2 * new_grid[1] - 1
+    table = np.asarray(table)
+    assert table.shape[0] == oh * ow + 3, (table.shape, old_grid)
+    heads = table.shape[1]
+    sub = torch.from_numpy(
+        np.ascontiguousarray(table[:oh * ow], np.float32))
+    sub = sub.reshape(oh, ow, heads).permute(2, 0, 1)[None]
+    sub = F.interpolate(sub, size=(nh, nw), mode="bilinear",
+                        align_corners=False)
+    sub = sub[0].permute(1, 2, 0).reshape(nh * nw, heads).numpy()
+    return np.concatenate([sub, table[oh * ow:]], axis=0)
+
+
+def beit_backbone_params(sd: Mapping[str, Any], depth: int, prefix: str,
+                         grid: Tuple[int, int]) -> Dict[str, Any]:
+    """timm-style BEiT backbone (pretrained.model.*) -> flax BeitBackbone.
+
+    grid: the flax model's static (gh, gw); rel-pos tables are resampled to
+    it when the checkpoint was trained at a different grid."""
+    p = prefix
+    params: Dict[str, Any] = {
+        "cls_token": _np(sd[p + "cls_token"]),
+        "patch_embed": conv(sd, p + "patch_embed.proj"),
+    }
+    for i in range(depth):
+        bp = f"{p}blocks.{i}"
+        table = _np(sd[bp + ".attn.relative_position_bias_table"])
+        nrel = table.shape[0] - 3
+        # infer the checkpoint grid from the stored index buffer when
+        # present (its shape is (N+1, N+1) with N = gh*gw); else assume
+        # square — the published BEiT-L/16-384 case ((2*24-1)^2 rows)
+        idx_key = bp + ".attn.relative_position_index"
+        if idx_key in sd:
+            n_tok = int(np.asarray(sd[idx_key]).shape[0]) - 1
+            old_grid = _beit_grid_from(nrel, n_tok)
+        else:
+            side = int(round(np.sqrt(nrel)))
+            assert side * side == nrel, (
+                "cannot infer BEiT rel-pos grid: non-square table without "
+                "a relative_position_index buffer")
+            old_grid = ((side + 1) // 2, (side + 1) // 2)
+        params[f"blocks_{i}"] = {
+            "norm1": layernorm(sd, bp + ".norm1"),
+            "attn": {
+                "qkv_kernel": _np(sd[bp + ".attn.qkv.weight"]).T,
+                "q_bias": _np(sd[bp + ".attn.q_bias"]),
+                "v_bias": _np(sd[bp + ".attn.v_bias"]),
+                "relative_position_bias_table":
+                    resample_beit_rel_pos_table(table, old_grid, grid),
+                "proj": linear(sd, bp + ".attn.proj"),
+            },
+            "gamma_1": _np(sd[bp + ".gamma_1"]),
+            "gamma_2": _np(sd[bp + ".gamma_2"]),
+            "norm2": layernorm(sd, bp + ".norm2"),
+            "mlp_fc1": linear(sd, bp + ".mlp.fc1"),
+            "mlp_fc2": linear(sd, bp + ".mlp.fc2"),
+        }
+    return params
+
+
+def _beit_grid_from(nrel: int, n_tokens: int) -> Tuple[int, int]:
+    """Solve (2h-1)(2w-1) == nrel, h*w == n_tokens for the grid."""
+    for h in range(1, n_tokens + 1):
+        if n_tokens % h:
+            continue
+        w = n_tokens // h
+        if (2 * h - 1) * (2 * w - 1) == nrel:
+            return (h, w)
+    raise ValueError(f"inconsistent BEiT table: nrel={nrel}, "
+                     f"tokens={n_tokens}")
+
+
+def midas_scratch_params(sd: Mapping[str, Any], pre_prefix: str,
+                         scratch_prefix: str) -> Dict[str, Any]:
+    """MiDaS act_postprocess (under pretrained.) + scratch.* -> the flax
+    MidasDPTHead ('scratch') params."""
+    params: Dict[str, Any] = {}
+    for i in range(4):
+        ap = f"{pre_prefix}act_postprocess{i + 1}"
+        params[f"readout_{i}"] = linear(sd, ap + ".0.project.0")
+        params[f"project_{i}"] = conv(sd, ap + ".3")
+    params["resize_0"] = conv_transpose(sd,
+                                        pre_prefix + "act_postprocess1.4")
+    params["resize_1"] = conv_transpose(sd,
+                                        pre_prefix + "act_postprocess2.4")
+    params["resize_3"] = conv(sd, pre_prefix + "act_postprocess4.4")
+    sp = scratch_prefix
+    for i in range(4):
+        params[f"layer{i + 1}_rn"] = conv(sd, f"{sp}layer{i + 1}_rn")
+        params[f"refinenet{i + 1}"] = _ffb(sd, f"{sp}refinenet{i + 1}")
+    params["output_conv_0"] = conv(sd, sp + "output_conv.0")
+    params["output_conv_2"] = conv(sd, sp + "output_conv.2")
+    params["output_conv_4"] = conv(sd, sp + "output_conv.4")
+    return params
+
+
+def midas_dpt_beit_params(sd: Mapping[str, Any], depth: int,
+                          grid: Tuple[int, int], prefix: str = ""
+                          ) -> Dict[str, Any]:
+    """Full MiDaS DPT-BEiT (torch.hub DPT_BEiT_L_384 layout) -> flax
+    MidasDPTBEiT params."""
+    return {
+        "pretrained": beit_backbone_params(
+            sd, depth, prefix + "pretrained.model.", grid),
+        "scratch": midas_scratch_params(
+            sd, prefix + "pretrained.", prefix + "scratch."),
+    }
+
+
+def zoedepth_beit_params(sd: Mapping[str, Any], depth: int,
+                         grid: Tuple[int, int], prefix: str = ""
+                         ) -> Dict[str, Any]:
+    """Reference ZoeDepth (MidasCore/BEiT) state_dict -> flax ZoeDepthBEiT.
+
+    Torch layout (model_io.py:27-96 checkpoints): core.core.pretrained.* +
+    core.core.scratch.* (the hub midas under MidasCore.core), conv2.*, and
+    the metric-bins head at top level."""
+    p = prefix
+    return {
+        "core": midas_dpt_beit_params(sd, depth, grid, p + "core.core."),
+        "conv2": conv(sd, p + "conv2"),
+        "head": metric_bins_head_params(sd, p),
+    }
+
+
+# ---------------------------------------------------------------------------
 # DINOv2 ViT
 # ---------------------------------------------------------------------------
 

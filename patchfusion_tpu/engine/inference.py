@@ -36,7 +36,8 @@ Array = jax.Array
 
 def crop_resize_tiles(image_hr: Array, origins: Array,
                       patch_raw: Tuple[int, int],
-                      process_shape: Tuple[int, int]) -> Array:
+                      process_shape: Tuple[int, int],
+                      compute_dtype: Any = jnp.float32) -> Array:
     """Batched crop + resize: (H,W,3) + (N,2)[y,x] -> (N,ph,pw,3).
 
     Replaces the reference's per-tile Python loop (baseline_pretrain.py:
@@ -50,14 +51,13 @@ def crop_resize_tiles(image_hr: Array, origins: Array,
                                      (th, tw, image_hr.shape[-1]))
 
     crops = jax.vmap(one)(origins)
-    if crops.dtype == jnp.float32:
+    if crops.dtype == jnp.float32 and compute_dtype == jnp.bfloat16:
         # every consumer (both branches' first convs, the fusion U-Net
         # input) immediately casts to bf16 — resizing in bf16 rides the
         # dense MXU path (ops/resize.py) and is within the bf16 compute
-        # contract; f32 inputs (CPU parity tests) keep the exact tap path
-        import jax as _jax
-        if _jax.default_backend() == "tpu":
-            crops = crops.astype(jnp.bfloat16)
+        # contract. Gated on the MODEL's compute dtype (not the backend) so
+        # a deliberate f32-on-TPU run keeps the exact tap path.
+        crops = crops.astype(jnp.bfloat16)
     return interpolate(crops, process_shape, mode="bilinear",
                        align_corners=True)
 
@@ -171,7 +171,8 @@ class PatchFusionInference:
         tc = self.tile_cfg
         n_tiles = origins_raw.shape[0]
         crops = crop_resize_tiles(image_hr, origins_raw, tc.patch_raw_shape,
-                                  tc.patch_process_shape)
+                                  tc.patch_process_shape,
+                                  compute_dtype=self.net.dtype)
         if not self.fusion:
             (crops,), n_tiles = self._pad_tiles([crops], n_tiles)
             crops = self._shard_tiles(crops)

@@ -124,11 +124,12 @@ def make_train_step(net: PatchFusionNet, tx: optax.GradientTransformation,
                                opt_state=new_opt)
         logs = {"total_loss": loss, "sig_loss": loss,
                 "grad_norm": optax.global_norm(grads),
-                # per-crop prediction for the trainer's periodic image
-                # panels (reference trainer.py:246-268); an existing jit
-                # output, so returning it costs no extra compute and it is
-                # only fetched to host at log intervals
-                "pred": pred}
+                # first-crop prediction for the trainer's periodic image
+                # panels (reference trainer.py:246-268; log_images reads
+                # index 0 only). Returning just pred[:1] keeps the Trainer's
+                # replicated out_shardings from all-gathering the whole
+                # batch prediction on every step
+                "pred": pred[:1]}
         return new_state, logs
 
     return step

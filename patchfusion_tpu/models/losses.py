@@ -32,12 +32,18 @@ class SILogLoss:
                  max_depth: float,
                  additional_mask: Optional[Array] = None) -> Array:
         # pred/target: (B, H, W, 1) NHWC
+        h_i, w_i = pred.shape[1:3]  # pre-resize shape, as the reference
         if pred.shape[1:3] != target.shape[1:3]:
             pred = interpolate(pred, target.shape[1:3], mode="bilinear",
                                align_corners=True)
         mask = (target > min_depth) & (target < max_depth)
         if additional_mask is not None:
-            mask = mask & additional_mask
+            # stability fallback (reference ls:30-36): when the merged mask
+            # covers < 0.1% of the pred's pixel count, revert to the plain
+            # validity mask ("reduce to previous mask for stable training")
+            merged = mask & additional_mask
+            enough = jnp.sum(merged.astype(jnp.float32)) >= h_i * w_i * 0.001
+            mask = jnp.where(enough, merged, mask)
         m = mask.astype(jnp.float32)
         n = jnp.sum(m)
         alpha = 1e-7
@@ -165,7 +171,6 @@ class ErrorLoss:
         return dice, focal, gt_mask
 
 
-@MODELS.register_module
 def _ranking_edge_maps(gray: Array) -> Tuple[Array, Array]:
     """Reference getEdge (losses.py:285-300): raw 3x3 sobel, VALID conv,
     result zero-padded back to full size (border edges/thetas are 0)."""
@@ -182,6 +187,7 @@ def _ranking_edge_maps(gray: Array) -> Tuple[Array, Array]:
     return edges, thetas
 
 
+@MODELS.register_module
 class EdgeguidedRankingLoss:
     """Edge-guided ranking loss (reference losses.py:255-539), JAX-native:
     sample anchor points on image edges, walk 4 points along the edge
@@ -259,6 +265,12 @@ class EdgeguidedRankingLoss:
             dist = dist.astype(jnp.float32)
             if not self.random_direct:
                 direct_p = jnp.zeros((b,))
+            elif direct_p is None:
+                raise ValueError(
+                    "EdgeguidedRankingLoss: anchor_rc injected with "
+                    "random_direct=True requires direct_p (the per-image "
+                    "direction coin flips the reference draws at "
+                    "losses.py:346)")
 
         theta_a = jnp.take_along_axis(thetas.reshape(b, -1), flat_idx,
                                       axis=1)

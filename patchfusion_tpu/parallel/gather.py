@@ -20,23 +20,55 @@ import jax
 import numpy as np
 
 
+def _allgather_key_union(local_keys: Sequence[str]) -> List[str]:
+    """Collective union of per-rank metric-key lists (sorted).
+
+    Encodes the local newline-joined key list as utf-8 bytes, allgathers
+    the lengths, pads to the max, allgathers the padded byte rows, and
+    unions. Every rank must call this (it is a collective)."""
+    from jax.experimental import multihost_utils
+
+    blob = "\n".join(local_keys).encode("utf-8")
+    lengths = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(blob)], np.int32))).reshape(-1)
+    m = int(lengths.max())
+    if m == 0:
+        return []
+    padded = np.zeros((m,), np.uint8)
+    padded[:len(blob)] = np.frombuffer(blob, np.uint8)
+    rows = np.asarray(multihost_utils.process_allgather(padded))
+    rows = rows.reshape(len(lengths), m)
+    union = set()
+    for p in range(len(lengths)):
+        text = rows[p, :int(lengths[p])].tobytes().decode("utf-8")
+        if text:
+            union.update(text.split("\n"))
+    return sorted(union)
+
+
 def gather_metric_dicts(results: List[Dict[str, float]],
                         keys: Optional[Sequence[str]] = None
                         ) -> List[Dict[str, float]]:
     """-> rank-major concatenation of every process's `results`.
 
     keys: the canonical metric-name order (must be identical on every
-    process; defaults to the sorted keys of the local results). Missing
-    entries become NaN — matching pre_eval_to_metrics' nanmean handling
+    process). When omitted, the canonical list is established COLLECTIVELY
+    (union of every rank's local key sets, gathered as padded utf-8) so a
+    rank with zero results — or with images missing a metric — still packs
+    a payload of the same trailing dimension as its peers. Missing entries
+    become NaN — matching pre_eval_to_metrics' nanmean handling
     (data/u4k.py)."""
-    if keys is None:
-        keys = sorted({k for r in results for k in r})
     if jax.process_count() == 1:
+        if keys is None:
+            keys = sorted({k for r in results for k in r})
         return [{k: float(r.get(k, np.nan))
                  if r.get(k) is not None else float("nan") for k in keys}
                 for r in results]
 
     from jax.experimental import multihost_utils
+
+    if keys is None:
+        keys = _allgather_key_union(sorted({k for r in results for k in r}))
 
     n = len(results)
     k = len(keys)

@@ -102,6 +102,51 @@ def test_silog_matches_torch(rng):
     np.testing.assert_allclose(ours, float(golden), rtol=1e-5)
 
 
+def test_silog_additional_mask_fallback(rng):
+    """Reference losses.py:30-36: when mask & additional_mask covers
+    < 0.1% of the pred's pixels, SILog reverts to the plain validity mask
+    ('reduce to previous mask for stable training')."""
+    import torch
+    from patchfusion_tpu.models.losses import SILogLoss
+
+    pred = rng.random((2, 16, 20, 1), dtype=np.float32) * 10 + 0.1
+    target = rng.random((2, 16, 20, 1), dtype=np.float32) * 90
+
+    def golden(am):
+        tp, tt = torch.from_numpy(pred), torch.from_numpy(target)
+        mask = (tt > 1e-3) & (tt < 80.0)
+        merged = mask & torch.from_numpy(am)
+        if merged.sum() >= 16 * 20 * 0.001:
+            mask = merged
+        g = torch.log(tp[mask] + 1e-7) - torch.log(tt[mask] + 1e-7)
+        return float(10 * torch.sqrt(torch.var(g)
+                                     + 0.15 * torch.mean(g) ** 2))
+
+    # generous additional mask -> merged mask used
+    am_big = rng.random((2, 16, 20, 1)) > 0.5
+    ours = float(SILogLoss()(pred, target, 1e-3, 80.0,
+                             additional_mask=am_big))
+    np.testing.assert_allclose(ours, golden(am_big), rtol=1e-5)
+
+    # near-empty additional mask (0 valid px < 0.32 threshold) -> fallback
+    am_tiny = np.zeros((2, 16, 20, 1), bool)
+    ours = float(SILogLoss()(pred, target, 1e-3, 80.0,
+                             additional_mask=am_tiny))
+    np.testing.assert_allclose(ours, golden(am_tiny), rtol=1e-5)
+    # and the fallback equals the no-additional-mask loss
+    plain = float(SILogLoss()(pred, target, 1e-3, 80.0))
+    np.testing.assert_allclose(ours, plain, rtol=1e-6)
+
+
+def test_ranking_loss_registered():
+    """ADVICE r2: the decorator was re-targeted onto a helper, dropping
+    EdgeguidedRankingLoss from the registry."""
+    from patchfusion_tpu.config.registry import MODELS
+    from patchfusion_tpu.models import losses  # noqa: F401 (registration)
+    assert MODELS.get("EdgeguidedRankingLoss") is losses.EdgeguidedRankingLoss
+    assert MODELS.get("SILogLoss") is losses.SILogLoss
+
+
 def test_metrics_match_reference_formulas(rng):
     from patchfusion_tpu.utils.metrics import compute_metrics
     gt = rng.random((64, 96), dtype=np.float32) * 70 + 1

@@ -40,10 +40,16 @@ def mk(i):
 
 local = [mk(i) for i in ([0, 1, 2] if pid == 0 else [3, 4])]
 gathered = gather_metric_dicts(local, keys=KEYS)
+
+# keys=None with a ZERO-RESULT rank (ADVICE r2: local-key default produced
+# mismatched payload shapes): canonical keys must be agreed collectively
+local2 = local if pid == 0 else []
+gathered2 = gather_metric_dicts(local2)
+
 if pid == 0:
     with open(out_path, "w") as f:
-        json.dump(gathered, f)
-print(f"rank {pid}: gathered {len(gathered)}")
+        json.dump({"fixed": gathered, "auto": gathered2}, f)
+print(f"rank {pid}: gathered {len(gathered)} / {len(gathered2)}")
 """
 
 
@@ -73,7 +79,13 @@ def test_two_process_gather(tmp_path):
         so, se = p.communicate(timeout=540)
         assert p.returncode == 0, se[-2000:]
 
-    gathered = json.load(open(out))
+    payload = json.load(open(out))
+    gathered = payload["fixed"]
+    # keys=None + one empty rank: collective key union, rank-0 results kept
+    auto = payload["auto"]
+    assert len(auto) == 3
+    assert sorted(auto[0]) == ["a1", "abs_rel", "rmse", "see"]
+    assert [g["a1"] for g in auto] == [0.0, 10.0, 20.0]
     # rank-major order, ragged counts preserved, missing key -> NaN
     assert len(gathered) == 5
     assert [g["a1"] for g in gathered] == [0.0, 10.0, 20.0, 30.0, 40.0]

@@ -387,6 +387,290 @@ def build_zoedepth(core_type="vits", seed=0):
     return model
 
 
+# ---------------------------------------------------------------------------
+# MiDaS v3.1 DPT_BEiT torch oracle
+# ---------------------------------------------------------------------------
+# The reference pulls this model from torch.hub (midas.py:340, repo not
+# vendored), so this is an independent torch implementation of the PUBLISHED
+# MiDaS v3.1 DPT-BEiT architecture, with state_dict keys in the published
+# MiDaS naming (pretrained.model.* / pretrained.act_postprocessN.* /
+# scratch.*). It is the activation-level second implementation for
+# models/beit.py and the naming authority for convert/{torch2jax,jax2torch}.
+
+def build_midas_beit(embed_dim=64, depth=4, num_heads=4, grid=(4, 6),
+                     hooks=(0, 1, 2, 3), features=256,
+                     out_channels=(256, 512, 1024, 1024), seed=0):
+    """-> torch DPT-BEiT module: forward(x NCHW, H=16*grid[0], W=16*grid[1])
+    returns (rel_depth (B,H,W), feats dict with the six MidasCore hook taps).
+    Submodule tree mirrors MiDaS: .pretrained.model (timm-style beit),
+    .pretrained.act_postprocess1..4, .scratch (hookable refinenets +
+    output_conv Sequential whose children()[3] is the hooked ReLU)."""
+    import math
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from patchfusion_tpu.models.beit import relative_position_index
+
+    gh, gw = grid
+    hd = embed_dim // num_heads
+
+    class BeitAttention(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(embed_dim, 3 * embed_dim, bias=False)
+            self.q_bias = nn.Parameter(torch.zeros(embed_dim))
+            self.v_bias = nn.Parameter(torch.zeros(embed_dim))
+            nrel = (2 * gh - 1) * (2 * gw - 1) + 3
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros(nrel, num_heads))
+            self.register_buffer(
+                "relative_position_index",
+                torch.from_numpy(relative_position_index(gh, gw)).long())
+            self.proj = nn.Linear(embed_dim, embed_dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            bias = torch.cat([self.q_bias, torch.zeros_like(self.q_bias),
+                              self.v_bias])
+            qkv = F.linear(x, self.qkv.weight, bias)
+            qkv = qkv.reshape(b, n, 3, num_heads, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * (hd ** -0.5)) @ k.transpose(-2, -1)
+            rel = self.relative_position_bias_table[
+                self.relative_position_index.view(-1)].view(n, n, -1)
+            attn = attn + rel.permute(2, 0, 1).unsqueeze(0)
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj(x)
+
+    class Mlp(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(embed_dim, 4 * embed_dim)
+            self.fc2 = nn.Linear(4 * embed_dim, embed_dim)
+
+        def forward(self, x):
+            return self.fc2(F.gelu(self.fc1(x)))
+
+    class BeitBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(embed_dim, eps=1e-6)
+            self.attn = BeitAttention()
+            self.gamma_1 = nn.Parameter(1e-5 * torch.ones(embed_dim))
+            self.norm2 = nn.LayerNorm(embed_dim, eps=1e-6)
+            self.mlp = Mlp()
+            self.gamma_2 = nn.Parameter(1e-5 * torch.ones(embed_dim))
+
+        def forward(self, x):
+            x = x + self.gamma_1 * self.attn(self.norm1(x))
+            return x + self.gamma_2 * self.mlp(self.norm2(x))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Conv2d(3, embed_dim, 16, stride=16)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class BeitModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+            self.patch_embed = PatchEmbed()
+            self.blocks = nn.ModuleList([BeitBlock() for _ in range(depth)])
+
+        def forward(self, x):
+            t = self.patch_embed(x)
+            cls = self.cls_token.expand(t.shape[0], -1, -1)
+            t = torch.cat([cls, t], dim=1)
+            taps = []
+            for i, blk in enumerate(self.blocks):
+                t = blk(t)
+                if i in set(hooks):
+                    taps.append(t)
+            return taps
+
+    class ProjectReadout(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.project = nn.Sequential(
+                nn.Linear(2 * embed_dim, embed_dim), nn.GELU())
+
+        def forward(self, x):
+            readout = x[:, 0].unsqueeze(1).expand_as(x[:, 1:])
+            return self.project(torch.cat((x[:, 1:], readout), -1))
+
+    def act_postprocess(level):
+        oc = out_channels[level]
+        mods = [ProjectReadout(), nn.Identity(), nn.Identity(),
+                nn.Conv2d(embed_dim, oc, 1)]
+        if level == 0:
+            mods.append(nn.ConvTranspose2d(oc, oc, 4, stride=4))
+        elif level == 1:
+            mods.append(nn.ConvTranspose2d(oc, oc, 2, stride=2))
+        elif level == 3:
+            mods.append(nn.Conv2d(oc, oc, 3, stride=2, padding=1))
+        return nn.Sequential(*mods)
+
+    class ResidualConvUnit(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(features, features, 3, padding=1)
+            self.conv2 = nn.Conv2d(features, features, 3, padding=1)
+
+        def forward(self, x):
+            out = self.conv2(F.relu(self.conv1(F.relu(x))))
+            return out + x
+
+    class FeatureFusionBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resConfUnit1 = ResidualConvUnit()
+            self.resConfUnit2 = ResidualConvUnit()
+            self.out_conv = nn.Conv2d(features, features, 1)
+
+        def forward(self, x, skip=None, size=None):
+            if skip is not None:
+                x = x + self.resConfUnit1(skip)
+            x = self.resConfUnit2(x)
+            if size is None:
+                size = (x.shape[2] * 2, x.shape[3] * 2)
+            x = F.interpolate(x, size=size, mode="bilinear",
+                              align_corners=True)
+            return self.out_conv(x)
+
+    class Scratch(nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in range(4):
+                setattr(self, f"layer{i + 1}_rn",
+                        nn.Conv2d(out_channels[i], features, 3, padding=1,
+                                  bias=False))
+                setattr(self, f"refinenet{i + 1}", FeatureFusionBlock())
+            self.output_conv = nn.Sequential(
+                nn.Conv2d(features, features // 2, 3, padding=1),
+                nn.Identity(),  # Interpolate(scale 2) applied in forward
+                nn.Conv2d(features // 2, 32, 3, padding=1),
+                nn.ReLU(True),
+                nn.Conv2d(32, 1, 1),
+                nn.ReLU(True),
+                nn.Identity())
+
+    class Pretrained(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = BeitModel()
+            self.act_postprocess1 = act_postprocess(0)
+            self.act_postprocess2 = act_postprocess(1)
+            self.act_postprocess3 = act_postprocess(2)
+            self.act_postprocess4 = act_postprocess(3)
+
+    class DPTBEiT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pretrained = Pretrained()
+            self.scratch = Scratch()
+
+        def forward(self, x):
+            b, _, h, w = x.shape
+            ph, pw = h // 16, w // 16
+            taps = self.pretrained.model(x)
+            pyr = []
+            for lvl, tap in enumerate(taps):
+                post = getattr(self.pretrained, f"act_postprocess{lvl + 1}")
+                t = post[0](tap)                       # readout
+                t = t.transpose(1, 2).reshape(b, embed_dim, ph, pw)
+                t = post[3:](t)                        # 1x1 conv (+ resize)
+                pyr.append(t)
+            sc = self.scratch
+            rn = [getattr(sc, f"layer{i + 1}_rn")(pyr[i]) for i in range(4)]
+            feats = {"l4_rn": rn[3]}
+            p4 = sc.refinenet4(rn[3], size=rn[2].shape[2:])
+            feats["r4"] = p4
+            p3 = sc.refinenet3(p4, rn[2], size=rn[1].shape[2:])
+            feats["r3"] = p3
+            p2 = sc.refinenet2(p3, rn[1], size=rn[0].shape[2:])
+            feats["r2"] = p2
+            p1 = sc.refinenet1(p2, rn[0])
+            feats["r1"] = p1
+            out = sc.output_conv[0](p1)
+            out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                                align_corners=True)
+            out = sc.output_conv[3](sc.output_conv[2](out))
+            feats["out_conv"] = out                    # the hooked ReLU tap
+            out = sc.output_conv[5](sc.output_conv[4](out))
+            if out.shape[2:] != (h, w):
+                out = F.interpolate(out, size=(h, w), mode="bilinear",
+                                    align_corners=True)
+            return out[:, 0], feats
+
+    torch.manual_seed(seed)
+    model = DPTBEiT()
+    # non-trivial random weights everywhere (default zeros would hide bugs)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.02)
+    model.eval()
+    return model
+
+
+def build_zoedepth_beit(grid=(4, 6), seed=0, **beit_kw):
+    """Reference ZoeDepth with a MidasCore wrapping the torch BEiT oracle
+    (injected directly, bypassing the torch.hub fetch at midas.py:340) —
+    the full-branch second implementation for ZoeDepthBEiT."""
+    install_stubs()
+    add_ref_paths()
+    import torch
+
+    midas = build_midas_beit(grid=grid, seed=seed, **beit_kw)
+
+    class _HookableMidas(torch.nn.Module):
+        """Adapter exposing the exact hook surface MidasCore.attach_hooks
+        expects (midas.py:294-315) while keeping the oracle's state_dict
+        naming (pretrained./scratch. prefixes). The oracle drives every
+        hooked module (refinenets, layer4_rn, output_conv's ReLU) as a real
+        module call, so the reference hooks fire unchanged."""
+
+        def __init__(self, m):
+            super().__init__()
+            self.pretrained = m.pretrained
+            self.scratch = m.scratch
+            self._m = [m]  # plain list: hide from state_dict/parameters
+
+        def forward(self, x):
+            depth, _feats = self._m[0](x)
+            return depth
+
+    from zoedepth.models.base_models.midas import MidasCore
+    from zoedepth.models.zoedepth.zoedepth_v1 import ZoeDepth
+
+    torch.manual_seed(seed + 1)
+    hm = _HookableMidas(midas)
+    core = MidasCore(hm, trainable=False, fetch_features=True,
+                     keep_aspect_ratio=False,
+                     img_size=[16 * grid[0], 16 * grid[1]], do_resize=False)
+    core.output_channels = [256, 256, 256, 256, 256]
+
+    torch.manual_seed(seed + 2)
+    model = ZoeDepth(core, n_bins=64, bin_centers_type="softplus",
+                     bin_embedding_dim=128, min_depth=1e-3, max_depth=80,
+                     n_attractors=[16, 8, 4, 1], attractor_alpha=1000,
+                     attractor_gamma=2, attractor_kind="mean",
+                     attractor_type="inv", min_temp=0.0212, max_temp=50.0,
+                     train_midas=False, midas_lr_factor=10,
+                     encoder_lr_factor=10, pos_enc_lr_factor=10)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if not name.startswith("core."):
+                p.normal_(0, 0.02)
+    model.eval()
+    return model
+
+
 def load_ref_losses():
     """Reference estimator/models/losses.py module (for loss parity tests),
     loaded file-directly with stubbed deps."""
