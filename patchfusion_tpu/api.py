@@ -31,7 +31,6 @@ import numpy as np
 
 from patchfusion_tpu.engine.inference import PatchFusionInference
 from patchfusion_tpu.models.builder import build_patchfusion
-from patchfusion_tpu.models.dinov2 import VIT_CONFIGS
 from patchfusion_tpu.models.patchfusion import TileConfig
 from patchfusion_tpu.ops.resize import NetResizer
 
@@ -66,14 +65,15 @@ class PatchFusion:
         branches waste ~1.5 GB HBM for vitl inference)."""
         net, tile_cfg = build_patchfusion(config, dtype=dtype)
         if ckpts is not None:
+            from patchfusion_tpu.convert import branch_conversion_spec
             from patchfusion_tpu.engine.checkpoint import \
                 load_patchfusion_from_torch
-            depth = VIT_CONFIGS[
-                config["coarse_branch"]["midas_model_type"]]["depth"]
+            family, depth, grid = branch_conversion_spec(config)
             fusion_depths = tuple(config["guided_fusion"].get(
                 "depth", (2, 2, 3, 3, 4, 4)))
             params, stats = load_patchfusion_from_torch(
-                ckpts[0], ckpts[1], ckpts[2], depth, fusion_depths)
+                ckpts[0], ckpts[1], ckpts[2], depth, fusion_depths,
+                family=family, grid=grid)
             missing = _init_missing(net, tile_cfg, params, stats, seed)
             variables = missing
         else:
@@ -94,13 +94,14 @@ class PatchFusion:
             raw = json.load(f)
         config = _normalize_hub_config(raw)
         net, tile_cfg = build_patchfusion(config, dtype=dtype)
+        from patchfusion_tpu.convert import branch_conversion_spec
         from patchfusion_tpu.engine.checkpoint import \
             load_patchfusion_hub_dir
-        depth = VIT_CONFIGS[
-            config["coarse_branch"]["midas_model_type"]]["depth"]
+        family, depth, grid = branch_conversion_spec(config)
         fusion_depths = tuple(config["guided_fusion"].get(
             "depth", (2, 2, 3, 3, 4, 4)))
-        params, stats = load_patchfusion_hub_dir(path, depth, fusion_depths)
+        params, stats = load_patchfusion_hub_dir(path, depth, fusion_depths,
+                                                 family=family, grid=grid)
         variables = {"params": params, "batch_stats": stats}
         return cls(net, tile_cfg, variables, config)
 
@@ -133,20 +134,23 @@ class PatchFusion:
     # -- inference -------------------------------------------------------------
 
     def engine(self, process_num: Optional[int] = None,
-               tile_cfg: Optional[TileConfig] = None
-               ) -> PatchFusionInference:
+               tile_cfg: Optional[TileConfig] = None,
+               mesh=None) -> PatchFusionInference:
+        """mesh: optional jax.sharding.Mesh with a 'patch' axis — shards the
+        tile batch over ICI (parallel/mesh.py::make_patch_mesh)."""
         pn = process_num or self.default_process_num
         tc = tile_cfg or self.tile_cfg
-        key = (pn, tc.image_raw_shape, tc.patch_split_num)
+        key = (pn, tc.image_raw_shape, tc.patch_split_num, mesh)
         if key not in self._engines:
             self._engines[key] = PatchFusionInference(
-                self.net, self.variables, tc, process_num=pn)
+                self.net, self.variables, tc, process_num=pn, mesh=mesh)
         return self._engines[key]
 
     def infer(self, image_lr: np.ndarray, image_hr: np.ndarray,
               cai_mode: str = "m1", process_num: Optional[int] = None,
               image_raw_shape=None, patch_split_num=None,
-              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+              rng: Optional[np.random.Generator] = None,
+              mesh=None) -> np.ndarray:
         """image_lr (1,h,w,3) NHWC in [0,1]; image_hr (H,W,3). Returns
         depth (H', W') numpy."""
         tc = self.tile_cfg
@@ -155,7 +159,7 @@ class PatchFusion:
                 tuple(image_raw_shape or tc.image_raw_shape),
                 tuple(patch_split_num or tc.patch_split_num),
                 tc.patch_process_shape)
-        eng = self.engine(process_num, tc)
+        eng = self.engine(process_num, tc, mesh=mesh)
         return np.asarray(eng.infer(image_lr, image_hr, cai_mode=cai_mode,
                                     rng=rng))
 
@@ -190,7 +194,7 @@ class BaselinePretrain:
                  max_depth: float, target: str = "coarse",
                  image_raw_shape=(2160, 3840), patch_split_num=(4, 4),
                  patch_process_shape=(384, 512), dtype=jnp.float32,
-                 seed: int = 0, params=None):
+                 seed: int = 0, params=None, mesh=None):
         from patchfusion_tpu.models.builder import build_zoedepth_branch
         import jax
 
@@ -211,6 +215,7 @@ class BaselinePretrain:
         self.resizer = NetResizer(ppw, pph, keep_aspect_ratio=False,
                                   ensure_multiple_of=multiple,
                                   resize_method="minimal")
+        self.mesh = mesh
         self._coarse_fn = None
         self._fine_engine = None
 
@@ -219,12 +224,15 @@ class BaselinePretrain:
                    **kw):
         """Load a reference branch checkpoint (.pth, strict — reference
         baseline_pretrain.py:121-127 load_dict)."""
-        from patchfusion_tpu.convert.torch2jax import zoedepth_params
+        from patchfusion_tpu.convert import branch_conversion_spec
+        from patchfusion_tpu.convert.torch2jax import branch_params
         from patchfusion_tpu.engine.checkpoint import load_torch_state_dict
-        from patchfusion_tpu.models.dinov2 import VIT_CONFIGS
         sd = load_torch_state_dict(ckpt_path)
-        depth = VIT_CONFIGS[branch_cfg["midas_model_type"]]["depth"]
-        params = zoedepth_params(sd, depth)
+        family, depth, grid = branch_conversion_spec({
+            "coarse_branch": branch_cfg,
+            "patch_process_shape": kw.get("patch_process_shape",
+                                          (384, 512))})
+        params = branch_params(sd, depth, family=family, grid=grid)
         return cls(branch_cfg, min_depth, max_depth, params=params, **kw)
 
     def infer(self, image_lr=None, image_hr=None, cai_mode: str = "m1",
@@ -252,6 +260,7 @@ class BaselinePretrain:
 
                 def __init__(self, net):
                     self.net = net
+                    self.dtype = net.dtype  # crop_resize_tiles cast gate
 
                 def apply(self, variables, *args, method=None, **kw):
                     if method is not PatchFusionNet.fine_forward:
@@ -268,7 +277,7 @@ class BaselinePretrain:
 
             self._fine_engine = PatchFusionInference(
                 _FineOnly(self.net), {"params": self.params}, self.tile_cfg,
-                process_num=process_num, fusion=False,
+                process_num=process_num, fusion=False, mesh=self.mesh,
                 rn_times_process_num=True)
         return np.asarray(self._fine_engine.infer(
             image_lr, image_hr, cai_mode=cai_mode, rng=rng))

@@ -136,6 +136,81 @@ def zoedepth_state_dict(p: Mapping, depth: int, prefix: str = ""
     return sd
 
 
+# ---------------------------------------------------------------------------
+# BEiT / MiDaS DPT (the `patchfusion_zoedepth` family)
+# ---------------------------------------------------------------------------
+
+def beit_backbone_state_dict(p: Mapping, depth: int, prefix: str,
+                             grid) -> Dict[str, np.ndarray]:
+    """flax BeitBackbone -> timm-style BEiT naming (pretrained.model.*),
+    including the persistent relative_position_index buffers."""
+    from patchfusion_tpu.models.beit import relative_position_index
+
+    sd: Dict[str, np.ndarray] = {}
+    sd[prefix + "cls_token"] = _np(p["cls_token"])
+    inv_conv(sd, prefix + "patch_embed.proj", p["patch_embed"])
+    idx = relative_position_index(*grid).astype(np.int64)
+    for i in range(depth):
+        b = p[f"blocks_{i}"]
+        bp = f"{prefix}blocks.{i}"
+        inv_layernorm(sd, bp + ".norm1", b["norm1"])
+        sd[bp + ".attn.qkv.weight"] = _np(b["attn"]["qkv_kernel"]).T
+        sd[bp + ".attn.q_bias"] = _np(b["attn"]["q_bias"])
+        sd[bp + ".attn.v_bias"] = _np(b["attn"]["v_bias"])
+        sd[bp + ".attn.relative_position_bias_table"] = _np(
+            b["attn"]["relative_position_bias_table"])
+        sd[bp + ".attn.relative_position_index"] = idx
+        inv_linear(sd, bp + ".attn.proj", b["attn"]["proj"])
+        sd[bp + ".gamma_1"] = _np(b["gamma_1"])
+        sd[bp + ".gamma_2"] = _np(b["gamma_2"])
+        inv_layernorm(sd, bp + ".norm2", b["norm2"])
+        inv_linear(sd, bp + ".mlp.fc1", b["mlp_fc1"])
+        inv_linear(sd, bp + ".mlp.fc2", b["mlp_fc2"])
+    return sd
+
+
+def midas_scratch_state_dict(p: Mapping, pre_prefix: str,
+                             scratch_prefix: str) -> Dict[str, np.ndarray]:
+    """flax MidasDPTHead -> MiDaS act_postprocess + scratch naming."""
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(4):
+        ap = f"{pre_prefix}act_postprocess{i + 1}"
+        inv_linear(sd, ap + ".0.project.0", p[f"readout_{i}"])
+        inv_conv(sd, ap + ".3", p[f"project_{i}"])
+    inv_conv_transpose(sd, pre_prefix + "act_postprocess1.4", p["resize_0"])
+    inv_conv_transpose(sd, pre_prefix + "act_postprocess2.4", p["resize_1"])
+    inv_conv(sd, pre_prefix + "act_postprocess4.4", p["resize_3"])
+    sp = scratch_prefix
+    for i in range(4):
+        inv_conv(sd, f"{sp}layer{i + 1}_rn", p[f"layer{i + 1}_rn"])
+        rp = f"{sp}refinenet{i + 1}"
+        ffb = p[f"refinenet{i + 1}"]
+        inv_conv(sd, rp + ".resConfUnit1.conv1", ffb["rcu1"]["conv1"])
+        inv_conv(sd, rp + ".resConfUnit1.conv2", ffb["rcu1"]["conv2"])
+        inv_conv(sd, rp + ".resConfUnit2.conv1", ffb["rcu2"]["conv1"])
+        inv_conv(sd, rp + ".resConfUnit2.conv2", ffb["rcu2"]["conv2"])
+        inv_conv(sd, rp + ".out_conv", ffb["out_conv"])
+    inv_conv(sd, sp + "output_conv.0", p["output_conv_0"])
+    inv_conv(sd, sp + "output_conv.2", p["output_conv_2"])
+    inv_conv(sd, sp + "output_conv.4", p["output_conv_4"])
+    return sd
+
+
+def zoedepth_beit_state_dict(p: Mapping, depth: int, grid,
+                             prefix: str = "") -> Dict[str, np.ndarray]:
+    """flax ZoeDepthBEiT -> reference ZoeDepth(MidasCore) naming
+    (core.core.pretrained.* / core.core.scratch.* / conv2.* / head)."""
+    sd = beit_backbone_state_dict(
+        p["core"]["pretrained"], depth,
+        prefix + "core.core.pretrained.model.", grid)
+    sd.update(midas_scratch_state_dict(
+        p["core"]["scratch"], prefix + "core.core.pretrained.",
+        prefix + "core.core.scratch."))
+    inv_conv(sd, prefix + "conv2", p["conv2"])
+    sd.update(metric_bins_state_dict(p["head"], prefix))
+    return sd
+
+
 def _swin_block_sd(sd, prefix, b, window: int = 12):
     inv_layernorm(sd, prefix + ".norm1", b["norm1"])
     inv_linear(sd, prefix + ".attn.qkv", b["attn"]["qkv"])
@@ -189,19 +264,30 @@ def guided_fusion_state_dict(p: Mapping, stats: Mapping, depths,
     return sd
 
 
+def branch_state_dict(p: Mapping, depth: int, prefix: str = "",
+                      family: str = "da", grid=None
+                      ) -> Dict[str, np.ndarray]:
+    """Family dispatch for a single ZoeDepth branch export (see
+    convert.branch_conversion_spec)."""
+    if family == "midas":
+        return zoedepth_beit_state_dict(p, depth, grid, prefix)
+    return zoedepth_state_dict(p, depth, prefix)
+
+
 def patchfusion_state_dict(params: Mapping, batch_stats: Mapping,
                            vit_depth: int, fusion_depths=(2, 2, 3, 3, 4, 4),
-                           fusion_only: bool = True
+                           fusion_only: bool = True,
+                           family: str = "da", grid=None
                            ) -> Dict[str, np.ndarray]:
     """-> the reference get_save_dict layout (patchfusion.py:179-187):
     fusion convs + guided_fusion + PF head [+ branches if not
     fusion_only]."""
     sd: Dict[str, np.ndarray] = {}
     if not fusion_only:
-        sd.update(zoedepth_state_dict(params["coarse_branch"], vit_depth,
-                                      "coarse_branch."))
-        sd.update(zoedepth_state_dict(params["fine_branch"], vit_depth,
-                                      "fine_branch."))
+        sd.update(branch_state_dict(params["coarse_branch"], vit_depth,
+                                    "coarse_branch.", family, grid))
+        sd.update(branch_state_dict(params["fine_branch"], vit_depth,
+                                    "fine_branch.", family, grid))
     for i in range(6):
         inv_conv(sd, f"fusion_conv_list.{i}", params[f"fusion_conv_{i}"])
     sd.update(guided_fusion_state_dict(params["fusion"],

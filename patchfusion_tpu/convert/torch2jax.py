@@ -231,14 +231,26 @@ def zoedepth_params(sd: Mapping[str, Any], depth: int, prefix: str = ""
 # Full PatchFusion
 # ---------------------------------------------------------------------------
 
+def branch_params(sd: Mapping[str, Any], depth: int, prefix: str = "",
+                  family: str = "da", grid=None) -> Dict[str, Any]:
+    """Family dispatch for a single ZoeDepth branch state_dict (see
+    convert.branch_conversion_spec)."""
+    if family == "midas":
+        return zoedepth_beit_params(sd, depth, grid, prefix)
+    return zoedepth_params(sd, depth, prefix)
+
+
 def patchfusion_params(sd: Mapping[str, Any], vit_depth: int,
-                       fusion_depths=(2, 2, 3, 3, 4, 4)
+                       fusion_depths=(2, 2, 3, 3, 4, 4),
+                       family: str = "da", grid=None
                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Full reference PatchFusion state_dict (coarse + fine + fusion; see
     patchfusion.py:176-187) -> (params, batch_stats) for PatchFusionNet."""
     params: Dict[str, Any] = {
-        "coarse_branch": zoedepth_params(sd, vit_depth, "coarse_branch."),
-        "fine_branch": zoedepth_params(sd, vit_depth, "fine_branch."),
+        "coarse_branch": branch_params(sd, vit_depth, "coarse_branch.",
+                                       family, grid),
+        "fine_branch": branch_params(sd, vit_depth, "fine_branch.",
+                                     family, grid),
         "head": metric_bins_head_params(sd, ""),
     }
     for i in range(6):

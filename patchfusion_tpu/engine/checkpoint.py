@@ -93,19 +93,23 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
 
 def load_patchfusion_from_torch(coarse_path: str, fine_path: str,
                                 fusion_path: Optional[str], vit_depth: int,
-                                fusion_depths=(2, 2, 3, 3, 4, 4)
+                                fusion_depths=(2, 2, 3, 3, 4, 4),
+                                family: str = "da", grid=None
                                 ) -> Tuple[Dict, Dict]:
     """Assemble full PatchFusionNet variables from the reference's three
     checkpoints (patchfusion.py:105-109 branch loads + load_dict
-    strict=False fusion load)."""
-    from patchfusion_tpu.convert.torch2jax import (fusion_only_params,
-                                                   zoedepth_params)
+    strict=False fusion load). family/grid: see
+    convert.branch_conversion_spec ('midas' = the BEiT zoedepth family)."""
+    from patchfusion_tpu.convert.torch2jax import (branch_params,
+                                                   fusion_only_params)
 
     params: Dict[str, Any] = {
-        "coarse_branch": zoedepth_params(
-            load_torch_state_dict(coarse_path), vit_depth),
-        "fine_branch": zoedepth_params(
-            load_torch_state_dict(fine_path), vit_depth),
+        "coarse_branch": branch_params(
+            load_torch_state_dict(coarse_path), vit_depth,
+            family=family, grid=grid),
+        "fine_branch": branch_params(
+            load_torch_state_dict(fine_path), vit_depth,
+            family=family, grid=grid),
     }
     stats: Dict[str, Any] = {}
     if fusion_path:
@@ -117,7 +121,8 @@ def load_patchfusion_from_torch(coarse_path: str, fine_path: str,
 
 
 def load_patchfusion_hub_dir(path: str, vit_depth: int,
-                             fusion_depths=(2, 2, 3, 3, 4, 4)
+                             fusion_depths=(2, 2, 3, 3, 4, 4),
+                             family: str = "da", grid=None
                              ) -> Tuple[Dict, Dict]:
     """Load from a HuggingFace-format local snapshot (the from_pretrained
     layout produced by the reference tools/convert_huggingface.py:
@@ -132,5 +137,6 @@ def load_patchfusion_hub_dir(path: str, vit_depth: int,
                 sd = load_file(p)
             else:
                 sd = load_torch_state_dict(p)
-            return patchfusion_params(sd, vit_depth, fusion_depths)
+            return patchfusion_params(sd, vit_depth, fusion_depths,
+                                      family=family, grid=grid)
     raise FileNotFoundError(f"no checkpoint found under {path}")

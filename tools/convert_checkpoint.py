@@ -20,17 +20,18 @@ def main():
     args = p.parse_args()
 
     from patchfusion_tpu.config import Config
+    from patchfusion_tpu.convert import branch_conversion_spec
     from patchfusion_tpu.engine.checkpoint import (
         load_patchfusion_from_torch, save_params)
-    from patchfusion_tpu.models.dinov2 import VIT_CONFIGS
 
     cfg = Config.fromfile(args.config)
     mc = cfg.model["config"]
-    vit_depth = VIT_CONFIGS[mc["coarse_branch"]["midas_model_type"]]["depth"]
+    family, vit_depth, grid = branch_conversion_spec(mc)
     fusion_depths = tuple(mc["guided_fusion"].get("depth",
                                                   (2, 2, 3, 3, 4, 4)))
     params, stats = load_patchfusion_from_torch(
-        args.coarse, args.fine, args.fusion, vit_depth, fusion_depths)
+        args.coarse, args.fine, args.fusion, vit_depth, fusion_depths,
+        family=family, grid=grid)
     save_params(args.save_path, params, stats)
     print(f"wrote {args.save_path}")
 

@@ -24,9 +24,9 @@ def main():
     import torch
 
     from patchfusion_tpu.config import Config
+    from patchfusion_tpu.convert import branch_conversion_spec
     from patchfusion_tpu.convert.jax2torch import patchfusion_state_dict
     from patchfusion_tpu.engine.checkpoint import load_params
-    from patchfusion_tpu.models.dinov2 import VIT_CONFIGS
 
     cfg = Config.fromfile(args.config)
     mc = cfg.model["config"].to_dict() if hasattr(
@@ -34,13 +34,14 @@ def main():
     blob = load_params(args.weights)
     params = blob["params"]
     stats = blob.get("batch_stats", {})
-    vit_depth = VIT_CONFIGS[mc["coarse_branch"]["midas_model_type"]]["depth"]
+    family, vit_depth, grid = branch_conversion_spec(mc)
     fusion_depths = tuple(mc["guided_fusion"].get("depth",
                                                   (2, 2, 3, 3, 4, 4)))
     fusion_only = "coarse_branch" not in params
 
     sd = patchfusion_state_dict(params, stats, vit_depth, fusion_depths,
-                                fusion_only=fusion_only)
+                                fusion_only=fusion_only,
+                                family=family, grid=grid)
     os.makedirs(args.out_dir, exist_ok=True)
     torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
                os.path.join(args.out_dir, "pytorch_model.bin"))
