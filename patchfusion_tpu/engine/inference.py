@@ -110,6 +110,11 @@ class PatchFusionInference:
         self.fusion = fusion
         self.mesh = mesh
         self.patch_axis = patch_axis
+        # rN tiles are generated/processed in groups of this size: the
+        # reference's process_num batching on one chip, the device count
+        # under a mesh (each group shards one tile per device)
+        self.tile_group = (int(mesh.shape[patch_axis]) if mesh is not None
+                           else process_num)
         self.rn_times_process_num = rn_times_process_num
         self._compiled: Dict[Any, Any] = {}
 
@@ -257,7 +262,7 @@ class PatchFusionInference:
         """Trace one full-mode program. mode in {m1, m2, r}; rN adds
         n_random random tiles in groups of process_num."""
         tc = self.tile_cfg
-        pn = self.process_num or 1
+        pn = self.tile_group or 1
 
         offsets = [((0, 0), (0, 0))]
         if mode in ("m2", "r"):
@@ -335,12 +340,59 @@ class PatchFusionInference:
 
     # -- public API ----------------------------------------------------------
 
+    def shard_report(self, cai_mode: str = "m1") -> Dict[str, Any]:
+        """Per-pass shard accounting for a mode under the current mesh —
+        the scaling-efficiency ledger the CLIs log (VERDICT r2: account for
+        tile padding and the replicated coarse pass).
+
+        Wall-clock is set by the per-device padded tile count; the padding
+        duplicates and the replicated coarse pass burn FLOPs/energy but not
+        latency (every device runs them concurrently with useful work)."""
+        tc = self.tile_cfg
+        ndev = (int(self.mesh.shape[self.patch_axis])
+                if self.mesh is not None else 1)
+        offsets = [(0, 0)]
+        if cai_mode == "m2" or cai_mode.startswith("r"):
+            prh, prw = tc.patch_raw_shape
+            offsets += [(0, prw // 2), (prh // 2, 0), (prh // 2, prw // 2)]
+        counts = []
+        for off in offsets:
+            oh, ow = tc.regular_origins(off)
+            counts.append(len(oh) * len(ow))
+        total = sum(counts)
+        padded = total + (-total) % ndev
+
+        n_rand = rand_padded = 0
+        if cai_mode.startswith("r"):
+            group = self.tile_group or 1
+            if self.rn_times_process_num:
+                n_rand = int(cai_mode[1:]) * group
+            else:
+                n_rand = (int(cai_mode[1:]) // group) * group
+            per_group = group + (-group) % ndev
+            rand_padded = (n_rand // group) * per_group if group else 0
+
+        work = padded + rand_padded
+        useful = total + n_rand
+        return {
+            "devices": ndev,
+            "pass_tiles": counts,
+            "regular_tiles": total,
+            "regular_padded": padded,
+            "random_tiles": n_rand,
+            "random_padded": rand_padded,
+            "tiles_per_device": work // max(ndev, 1),
+            "padding_waste_frac": round(1.0 - useful / work, 4) if work
+            else 0.0,
+            "coarse_pass_replicas": ndev,
+        }
+
     def random_origins(self, n: int, rng: np.random.Generator) -> np.ndarray:
         """Host-side random tile origins replicating the reference's
         distribution (baseline_pretrain.py:155-156: per group of process_num
         tiles, independent h per tile but ONE shared w)."""
         tc = self.tile_cfg
-        pn = self.process_num or 1
+        pn = self.tile_group or 1
         n_groups = n // pn
         hs, ws = [], []
         for _ in range(n_groups):
@@ -366,10 +418,10 @@ class PatchFusionInference:
                 # BaselinePretrain quirk: rN runs N random_tile calls of
                 # process_num tiles each (reference bp:407-410), while
                 # PatchFusion runs N//process_num calls (pf:445)
-                n_random = n_random * (self.process_num or 1)
+                n_random = n_random * (self.tile_group or 1)
             else:
-                n_random = (n_random // (self.process_num or 1)) * \
-                    (self.process_num or 1)
+                n_random = (n_random // (self.tile_group or 1)) * \
+                    (self.tile_group or 1)
             if rand_origins is not None:
                 rand = np.asarray(rand_origins, np.int32)
                 n_random = rand.shape[0]

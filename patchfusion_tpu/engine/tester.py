@@ -64,7 +64,9 @@ class Tester:
 
         if jax.process_count() > 1:
             from patchfusion_tpu.parallel.gather import gather_metric_dicts
-            results = gather_metric_dicts(results)
+            # size trims the ShardedSampler wraparound duplicates, the
+            # reference collect_results_gpu(results, len(dataset)) behavior
+            results = gather_metric_dicts(results, size=len(dataset))
         if not results:
             return {}
         return dataset.evaluate(results, logger=self.logger)

@@ -150,7 +150,8 @@ class Trainer:
                 results.append(r)
         if jax.process_count() > 1:
             from patchfusion_tpu.parallel.gather import gather_metric_dicts
-            results = gather_metric_dicts(results)
+            results = gather_metric_dicts(
+                results, size=len(self.val_loader.dataset))
         metrics = self.val_loader.dataset.evaluate(results,
                                                    logger=self.logger)
         if self.wandb:

@@ -47,9 +47,11 @@ def _allgather_key_union(local_keys: Sequence[str]) -> List[str]:
 
 
 def gather_metric_dicts(results: List[Dict[str, float]],
-                        keys: Optional[Sequence[str]] = None
+                        keys: Optional[Sequence[str]] = None,
+                        size: Optional[int] = None
                         ) -> List[Dict[str, float]]:
-    """-> rank-major concatenation of every process's `results`.
+    """-> concatenation of every process's `results` (rank-major by
+    default).
 
     keys: the canonical metric-name order (must be identical on every
     process). When omitted, the canonical list is established COLLECTIVELY
@@ -57,13 +59,20 @@ def gather_metric_dicts(results: List[Dict[str, float]],
     rank with zero results — or with images missing a metric — still packs
     a payload of the same trailing dimension as its peers. Missing entries
     become NaN — matching pre_eval_to_metrics' nanmean handling
-    (data/u4k.py)."""
+    (data/u4k.py).
+
+    size: the dataset length — reconstructs SAMPLE-MAJOR order (rank r's
+    i-th result came from global index i*world+r under ShardedSampler's
+    strided split) and trims the wraparound pad duplicates, the reference
+    `collect_results_gpu(results, len(dataset))` semantics
+    (estimator/tester/tester.py:93)."""
     if jax.process_count() == 1:
         if keys is None:
             keys = sorted({k for r in results for k in r})
-        return [{k: float(r.get(k, np.nan))
-                 if r.get(k) is not None else float("nan") for k in keys}
-                for r in results]
+        out = [{k: float(r.get(k, np.nan))
+                if r.get(k) is not None else float("nan") for k in keys}
+               for r in results]
+        return out[:size] if size is not None else out
 
     from jax.experimental import multihost_utils
 
@@ -89,6 +98,14 @@ def gather_metric_dicts(results: List[Dict[str, float]],
     stacked = stacked.reshape(len(counts), m, k)
 
     out: List[Dict[str, float]] = []
+    if size is not None:
+        # sample-major: round-robin over ranks, trimmed to the dataset size
+        for i in range(m):
+            for p in range(len(counts)):
+                if i < int(counts[p]) and len(out) < size:
+                    out.append({key: float(stacked[p, i, j])
+                                for j, key in enumerate(keys)})
+        return out
     for p in range(len(counts)):
         for i in range(int(counts[p])):
             out.append({key: float(stacked[p, i, j])

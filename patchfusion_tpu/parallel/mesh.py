@@ -31,6 +31,30 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data"
     return Mesh(np.array(devices), (axis,))
 
 
+def make_patch_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D `patch` mesh: the tile-batch shard axis of the inference engine
+    (ICI tile parallelism — the multi-chip form of the reference's
+    process_num loop, baseline_pretrain.py:293-307)."""
+    return make_mesh(devices, axis="patch")
+
+
+def resolve_cli_mesh(arg: str) -> Optional[Mesh]:
+    """CLI `--mesh` policy: 'none' -> single-device engine; 'patch' ->
+    patch mesh over all local devices (error if only one); 'auto' -> patch
+    mesh iff more than one device is visible."""
+    n = len(jax.devices())
+    if arg == "none":
+        return None
+    if arg == "patch":
+        if n < 2:
+            raise SystemExit("--mesh patch needs >1 device "
+                             f"(found {n}); use --mesh none")
+        return make_patch_mesh()
+    if arg == "auto":
+        return make_patch_mesh() if n > 1 else None
+    raise ValueError(f"unknown mesh policy {arg!r}")
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     axis = mesh.axis_names[0]
     return NamedSharding(mesh, P(axis))

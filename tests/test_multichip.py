@@ -89,3 +89,52 @@ def test_dp_train_step_runs_and_syncs(tiny):
     w1 = np.asarray(s1.trainable["fusion_conv_0"]["kernel"])
     w8 = np.asarray(s8.trainable["fusion_conv_0"]["kernel"])
     np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
+
+
+def test_rn_sharded_matches_single(tiny, rng):
+    """rN with injected origins: the mesh engine (tile groups = device
+    count) and the single-device engine (groups = process_num) blend the
+    same random tiles to the same raw-res canvas."""
+    net, tile_cfg, variables = tiny
+    img = rng.random((84, 112, 3), dtype=np.float32)
+    lr = rng.random((1, 42, 56, 3), dtype=np.float32)
+    origins = np.stack([rng.integers(0, 84 - 42, 8),
+                        rng.integers(0, 112 - 56, 8)], -1).astype(np.int32)
+
+    single = PatchFusionInference(net, variables, tile_cfg, process_num=2)
+    d1 = np.asarray(single.infer(lr, img, cai_mode="r8",
+                                 rand_origins=origins))
+
+    mesh = make_mesh(jax.devices()[:4], axis="patch")
+    sharded = PatchFusionInference(net, variables, tile_cfg, mesh=mesh)
+    d2 = np.asarray(sharded.infer(lr, img, cai_mode="r8",
+                                  rand_origins=origins))
+    assert d1.shape == d2.shape == (84, 112)
+    np.testing.assert_allclose(d1, d2, rtol=2e-4, atol=2e-4)
+
+
+def test_shard_report():
+    """The scaling ledger: tile counts, padding waste, coarse replication —
+    at toy scale and at the canonical p49 4x4 split on 8 devices."""
+    from patchfusion_tpu.models.patchfusion import TileConfig
+
+    tc = TileConfig((84, 112), (2, 2), (42, 56))
+    mesh = make_mesh(jax.devices()[:4], axis="patch")
+    eng = PatchFusionInference(None, {}, tc, mesh=mesh)
+    r = eng.shard_report("m2")
+    assert r["pass_tiles"] == [4, 2, 2, 1] and r["regular_tiles"] == 9
+    assert r["regular_padded"] == 12 and r["devices"] == 4
+    assert r["coarse_pass_replicas"] == 4
+
+    r8 = eng.shard_report("r8")
+    assert r8["random_tiles"] == 8 and r8["random_padded"] == 8
+    assert r8["tiles_per_device"] == (12 + 8) // 4
+
+    # canonical: p49 (m2 at 4x4) on a v5e-8 pads 49 -> 56, 12.5% waste
+    tc49 = TileConfig((2160, 3840), (4, 4), (392, 518))
+    mesh8 = make_mesh(jax.devices()[:8], axis="patch")
+    eng49 = PatchFusionInference(None, {}, tc49, mesh=mesh8)
+    r49 = eng49.shard_report("m2")
+    assert r49["regular_tiles"] == 49 and r49["regular_padded"] == 56
+    assert r49["padding_waste_frac"] == 0.125
+    assert eng49.shard_report("m1")["padding_waste_frac"] == 0.0

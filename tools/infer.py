@@ -22,6 +22,10 @@ def main():
                            "depthanything_vitl_patchfusion_u4k.py")
     p.add_argument("--cai-mode", default="m1")
     p.add_argument("--process-num", type=int, default=4)
+    p.add_argument("--mesh", default="auto",
+                   choices=["auto", "patch", "none"],
+                   help="shard the tile batch over a `patch` device mesh "
+                        "(ICI tile parallelism); auto = when >1 device")
     p.add_argument("--image-raw-shape", nargs="+", type=int,
                    default=[2160, 3840])
     p.add_argument("--out", default="depth.png")
@@ -49,9 +53,12 @@ def main():
         img = np.clip(_resize_bicubic_ac(img, args.image_raw_shape), 0, 1)
     image_lr = model.resizer(np.asarray(img)[None])
 
+    from patchfusion_tpu.parallel.mesh import resolve_cli_mesh
+    mesh = resolve_cli_mesh(args.mesh)
     depth = model.infer(np.asarray(image_lr), img, cai_mode=args.cai_mode,
                         process_num=args.process_num,
-                        image_raw_shape=tuple(args.image_raw_shape))
+                        image_raw_shape=tuple(args.image_raw_shape),
+                        mesh=mesh)
     base, ext = os.path.splitext(args.out)
     save_depth_png(depth, args.out, base + "_uint16.png")
     print(f"depth: {depth.shape}, range [{depth.min():.3f}, "

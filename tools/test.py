@@ -23,6 +23,10 @@ def parse_args():
                    choices=["normal", "test_in", "test_out", "general"])
     p.add_argument("--cai-mode", default="m1")
     p.add_argument("--process-num", type=int, default=4)
+    p.add_argument("--mesh", default="auto",
+                   choices=["auto", "patch", "none"],
+                   help="shard the tile batch over a `patch` device mesh "
+                        "(ICI tile parallelism); auto = when >1 device")
     p.add_argument("--image-raw-shape", nargs="+", type=int,
                    default=[2160, 3840])
     p.add_argument("--patch-split-num", nargs="+", type=int, default=[4, 4])
@@ -58,6 +62,10 @@ def main():
 
     logger = setup_logger()
     ckp = args.ckp_path
+    from patchfusion_tpu.parallel.mesh import resolve_cli_mesh
+    mesh = resolve_cli_mesh(args.mesh)
+    if mesh is not None:
+        logger.info("patch mesh: %d devices", mesh.devices.size)
 
     if cfg.model["type"] == "BaselinePretrain":
         # stage-1/2 branch eval (reference baseline_pretrain.py:364-419)
@@ -71,7 +79,7 @@ def main():
         kw = dict(target=target,
                   image_raw_shape=tuple(args.image_raw_shape),
                   patch_split_num=tuple(args.patch_split_num),
-                  patch_process_shape=tuple(pps))
+                  patch_process_shape=tuple(pps), mesh=mesh)
         if ckp and ckp.endswith(".pth"):
             model = BaselinePretrain.from_torch(
                 branch_cfg, mcfg["min_depth"], mcfg["max_depth"], ckp, **kw)
@@ -109,7 +117,10 @@ def main():
         tile_cfg = TileConfig(tuple(args.image_raw_shape),
                               tuple(args.patch_split_num),
                               model.tile_cfg.patch_process_shape)
-        engine = model.engine(args.process_num, tile_cfg)
+        engine = model.engine(args.process_num, tile_cfg, mesh=mesh)
+        if mesh is not None:
+            logger.info("shard report (%s): %s", args.cai_mode,
+                        engine.shard_report(args.cai_mode))
 
     if args.test_type == "general":
         dcfg = dict(cfg.general_dataloader)
