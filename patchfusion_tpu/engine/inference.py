@@ -258,12 +258,9 @@ class PatchFusionInference:
                                    method=PatchFusionNet.attend_coarse)
         return coarse_depth, coarse_feats, g2l_feats
 
-    def _build(self, mode: str, n_random: int):
-        """Trace one full-mode program. mode in {m1, m2, r}; rN adds
-        n_random random tiles in groups of process_num."""
+    def _mode_plan(self, mode: str):
+        """Static per-mode tiling plan: pass offsets, grids, blend masks."""
         tc = self.tile_cfg
-        pn = self.tile_group or 1
-
         offsets = [((0, 0), (0, 0))]
         if mode in ("m2", "r"):
             prh, prw = tc.patch_raw_shape
@@ -271,70 +268,117 @@ class PatchFusionInference:
             offsets += [((0, prw // 2), (0, ppw // 2)),
                         ((prh // 2, 0), (pph // 2, 0)),
                         ((prh // 2, prw // 2), (pph // 2, ppw // 2))]
-
+        pass_grids = [tc.regular_origins(off_raw) for (off_raw, _) in offsets]
         blur = jnp.asarray(blend_mask(tc.patch_process_shape))
         blur_raw = jnp.asarray(blend_mask(tc.patch_raw_shape))
+        return offsets, pass_grids, blur, blur_raw
+
+    def _image_stream(self, variables, image_hr, rand_origins, coarse_ctx,
+                      mode: str, n_random: int, plan) -> Array:
+        """Full tiled inference for ONE image given its coarse context —
+        the body shared by the per-image and batched programs."""
+        tc = self.tile_cfg
+        pn = self.tile_group or 1
+        offsets, pass_grids, blur, blur_raw = plan
+
+        # batch ALL regular passes' tiles into one stream: a p49 run is
+        # a single 49-tile batch (uniform divisor chunks, e.g. 7x7)
+        # instead of per-pass fragments (8,8 | 6,6 | 6,6 | 3,3,3)
+        counts = [len(oh) * len(ow) for (oh, ow) in pass_grids]
+        all_origins = np.concatenate([
+            np.array([[y, x] for y in oh for x in ow], np.int32)
+            for (oh, ow) in pass_grids])
+        tiles_all = self._tile_batch(
+            variables, image_hr, jnp.asarray(all_origins), None,
+            coarse_ctx, static_grids=pass_grids)
+
+        avg: Optional[AvgMap] = None
+        start = 0
+        for (off_raw, off_proc), (oh, ow), n in zip(offsets, pass_grids,
+                                                    counts):
+            poh, pow_ = tc.process_origins(off_proc)
+            tiles = tiles_all[start:start + n]
+            start += n
+            num = paste_grid(tiles * blur, poh, pow_,
+                             tc.patch_reensemble_shape)
+            den = paste_grid(jnp.broadcast_to(
+                blur, tiles.shape), poh, pow_,
+                tc.patch_reensemble_shape)
+            if avg is None:
+                avg = AvgMap.init(num, den)
+            else:
+                avg = avg.update(num, den)
+
+        if mode == "r" and n_random > 0:
+            avg = avg.resize(tc.image_raw_shape)
+            groups = rand_origins.reshape(-1, pn, 2)
+
+            def one_group(gorigins):
+                boxes_raw = jnp.concatenate([
+                    gorigins[:, 1:2], gorigins[:, 0:1],
+                    gorigins[:, 1:2] + tc.patch_raw_shape[1],
+                    gorigins[:, 0:1] + tc.patch_raw_shape[0]],
+                    axis=1).astype(jnp.float32)
+                boxes_p = tc.bbox_to_process(boxes_raw)
+                tiles = self._tile_batch(variables, image_hr, gorigins,
+                                         boxes_p, coarse_ctx)
+                # reference resizes tile depth to raw tile size with
+                # F.interpolate default mode == nearest (bp:203)
+                tiles = interpolate(tiles[..., None], tc.patch_raw_shape,
+                                    mode="nearest")[..., 0]
+                num = paste_dynamic(tiles * blur_raw, gorigins,
+                                    tc.image_raw_shape)
+                den = paste_dynamic(jnp.broadcast_to(
+                    blur_raw, tiles.shape), gorigins, tc.image_raw_shape)
+                return num, den
+
+            nums, dens = jax.lax.map(one_group, groups)
+            avg = avg.update(nums.sum(0), dens.sum(0))
+
+        return avg.average
+
+    def _build(self, mode: str, n_random: int):
+        """Trace one full-mode program. mode in {m1, m2, r}; rN adds
+        n_random random tiles in groups of process_num."""
+        plan = self._mode_plan(mode)
 
         def fn(variables, image_lr, image_hr, rand_origins):
             coarse_ctx = self._coarse_ctx(variables, image_lr)
+            return self._image_stream(variables, image_hr, rand_origins,
+                                      coarse_ctx, mode, n_random, plan)
 
-            # batch ALL regular passes' tiles into one stream: a p49 run is
-            # a single 49-tile batch (uniform divisor chunks, e.g. 7x7)
-            # instead of per-pass fragments (8,8 | 6,6 | 6,6 | 3,3,3)
-            pass_grids = [tc.regular_origins(off_raw)
-                          for (off_raw, _)in offsets]
-            counts = [len(oh) * len(ow) for (oh, ow) in pass_grids]
-            all_origins = np.concatenate([
-                np.array([[y, x] for y in oh for x in ow], np.int32)
-                for (oh, ow) in pass_grids])
-            tiles_all = self._tile_batch(
-                variables, image_hr, jnp.asarray(all_origins), None,
-                coarse_ctx, static_grids=pass_grids)
+        return jax.jit(fn)
 
-            avg: Optional[AvgMap] = None
-            start = 0
-            for (off_raw, off_proc), (oh, ow), n in zip(offsets, pass_grids,
-                                                        counts):
-                poh, pow_ = tc.process_origins(off_proc)
-                tiles = tiles_all[start:start + n]
-                start += n
-                num = paste_grid(tiles * blur, poh, pow_,
-                                 tc.patch_reensemble_shape)
-                den = paste_grid(jnp.broadcast_to(
-                    blur, tiles.shape), poh, pow_,
-                    tc.patch_reensemble_shape)
-                if avg is None:
-                    avg = AvgMap.init(num, den)
-                else:
-                    avg = avg.update(num, den)
+    def _build_batch(self, mode: str, n_random: int):
+        """Multi-image program (throughput serving): ONE coarse pass over
+        the stacked (B,h,w,3) batch — the batch-1 coarse pass runs at ~7%
+        MFU, so batching it across images recovers most of its cost — then
+        a lax.map over the per-image tile streams (compiled once, not B
+        times). Numerically identical to B calls of the per-image program:
+        every stage is batch-pointwise."""
+        plan = self._mode_plan(mode)
 
-            if mode == "r" and n_random > 0:
-                avg = avg.resize(tc.image_raw_shape)
-                groups = rand_origins.reshape(-1, pn, 2)
+        def fn(variables, images_lr, images_hr, rand_origins):
+            if self.fusion:
+                coarse_depth, coarse_feats = self.net.apply(
+                    variables, images_lr,
+                    method=PatchFusionNet.coarse_forward)
+                g2l_feats = self.net.apply(
+                    variables, coarse_feats,
+                    method=PatchFusionNet.attend_coarse)
+                ctx = (coarse_depth, coarse_feats, g2l_feats)
+            else:
+                ctx = None
 
-                def one_group(gorigins):
-                    boxes_raw = jnp.concatenate([
-                        gorigins[:, 1:2], gorigins[:, 0:1],
-                        gorigins[:, 1:2] + tc.patch_raw_shape[1],
-                        gorigins[:, 0:1] + tc.patch_raw_shape[0]],
-                        axis=1).astype(jnp.float32)
-                    boxes_p = tc.bbox_to_process(boxes_raw)
-                    tiles = self._tile_batch(variables, image_hr, gorigins,
-                                             boxes_p, coarse_ctx)
-                    # reference resizes tile depth to raw tile size with
-                    # F.interpolate default mode == nearest (bp:203)
-                    tiles = interpolate(tiles[..., None], tc.patch_raw_shape,
-                                        mode="nearest")[..., 0]
-                    num = paste_dynamic(tiles * blur_raw, gorigins,
-                                        tc.image_raw_shape)
-                    den = paste_dynamic(jnp.broadcast_to(
-                        blur_raw, tiles.shape), gorigins, tc.image_raw_shape)
-                    return num, den
+            def per_image(args):
+                image_hr, rand, ctx_i = args
+                # restore the leading batch-1 dim the stream code expects
+                ctx_full = (None if ctx_i is None else
+                            jax.tree.map(lambda x: x[None], ctx_i))
+                return self._image_stream(variables, image_hr, rand,
+                                          ctx_full, mode, n_random, plan)
 
-                nums, dens = jax.lax.map(one_group, groups)
-                avg = avg.update(nums.sum(0), dens.sum(0))
-
-            return avg.average
+            return jax.lax.map(per_image, (images_hr, rand_origins, ctx))
 
         return jax.jit(fn)
 
@@ -446,4 +490,45 @@ class PatchFusionInference:
         if isinstance(image_lr, np.ndarray):
             image_lr = jax.device_put(jnp.asarray(image_lr))
         return self._compiled[key](self.variables, image_lr, image_hr,
+                                   jnp.asarray(rand))
+
+    def infer_batch(self, images_lr: Array, images_hr: Array,
+                    cai_mode: str = "m1",
+                    rng: Optional[np.random.Generator] = None,
+                    rand_origins: Optional[np.ndarray] = None) -> Array:
+        """Batched-image inference: images_lr (B,h,w,3), images_hr
+        (B,H,W,3) -> depth (B,H',W'). Same per-image semantics as
+        `infer`, but the coarse pass runs once over the whole batch (see
+        _build_batch) — the throughput-serving entry point.
+        rand_origins (rN mode): (B, N, 2) per-image origins."""
+        b = images_hr.shape[0]
+        if cai_mode.startswith("r"):
+            mode, n_random = "r", int(cai_mode[1:])
+            if self.rn_times_process_num:
+                n_random = n_random * (self.tile_group or 1)
+            else:
+                n_random = (n_random // (self.tile_group or 1)) * \
+                    (self.tile_group or 1)
+            if rand_origins is not None:
+                rand = np.asarray(rand_origins, np.int32)
+                n_random = rand.shape[1]
+            else:
+                rng = rng or np.random.default_rng(0)
+                rand = np.stack([self.random_origins(n_random, rng)
+                                 for _ in range(b)])
+        elif cai_mode in ("m1", "m2"):
+            mode, n_random = cai_mode, 0
+            rand = np.zeros((b, 0, 2), np.int32)
+        else:
+            mode, n_random = "m1", 0
+            rand = np.zeros((b, 0, 2), np.int32)
+
+        key = ("batch", mode, n_random, b)
+        if key not in self._compiled:
+            self._compiled[key] = self._build_batch(mode, n_random)
+        if isinstance(images_hr, np.ndarray):
+            images_hr = jax.device_put(jnp.asarray(images_hr))
+        if isinstance(images_lr, np.ndarray):
+            images_lr = jax.device_put(jnp.asarray(images_lr))
+        return self._compiled[key](self.variables, images_lr, images_hr,
                                    jnp.asarray(rand))

@@ -42,7 +42,7 @@ class Trainer:
                  collect_keys=BATCH_KEYS, eval_start: int = 0,
                  train_log_img_interval: int = 500,
                  val_log_img_interval: int = 50,
-                 logger=None):
+                 logger=None, donate: bool = True):
         self.net = net
         self.tx = tx
         self.state = state
@@ -77,12 +77,17 @@ class Trainer:
         self.data_sharding = NamedSharding(self.mesh, P("data"))
         self.repl = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, self.repl)
-        # NOTE: the state is deliberately NOT donated here — the in-training
-        # validation engine holds references to the frozen-branch arrays, and
-        # donation would invalidate them mid-run. tools/profile_train.py
-        # donates (no aliases there) and measures the ~3 GB saving.
+        # Donating the state into the step saves the ~3 GB old/new
+        # params+opt coexistence (measured in tools/profile_train.py) — the
+        # margin that lets the reference-recipe vitl step fit one v5e chip.
+        # Safe with the in-training validation engine because val_fn
+        # reassigns `val_engine.variables` from the LIVE `self.state` on
+        # every call (tools/train.py) — the unchanged frozen branches alias
+        # straight through the step (donated input buffer == output buffer),
+        # so no stale reference is ever dereferenced.
         self._step = jax.jit(train_step,
-                             out_shardings=(self.repl, self.repl))
+                             out_shardings=(self.repl, self.repl),
+                             donate_argnums=(0,) if donate else ())
 
     def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         out = {}

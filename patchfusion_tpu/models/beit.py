@@ -46,6 +46,7 @@ import numpy as np
 
 from patchfusion_tpu.models.dpt import FeatureFusionBlock
 from patchfusion_tpu.ops.resize import interpolate
+from patchfusion_tpu.ops.activations import gelu as act_gelu
 
 Array = jax.Array
 
@@ -145,7 +146,7 @@ class BeitBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = act_gelu(h)
         h = nn.Dense(d, dtype=self.dtype, name="mlp_fc2")(h)
         g2 = self.param("gamma_2", nn.initializers.constant(
             self.init_values), (d,))
@@ -205,7 +206,7 @@ class MidasDPTHead(nn.Module):
             cls = jnp.broadcast_to(tok[:, :1], (b, n - 1, d))
             x = jnp.concatenate([tok[:, 1:], cls], axis=-1)
             x = nn.Dense(d, dtype=self.dtype, name=f"readout_{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = act_gelu(x)
             x = x.reshape(b, gh, gw, d)
             x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype,
                         name=f"project_{i}")(x)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from patchfusion_tpu.ops.resize import interpolate
+from patchfusion_tpu.ops.activations import gelu as act_gelu
 
 Array = jax.Array
 
@@ -52,7 +53,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = act_gelu(x)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 

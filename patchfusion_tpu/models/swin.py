@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from patchfusion_tpu.ops.activations import gelu as act_gelu
 from patchfusion_tpu.ops.windows import (pad_to_multiple, shifted_window_mask,
                                          window_partition, window_reverse)
 
@@ -121,7 +122,7 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        y = act_gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 

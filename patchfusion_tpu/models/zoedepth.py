@@ -24,6 +24,7 @@ import numpy as np
 
 from patchfusion_tpu.models.dpt import DPTDinov2
 from patchfusion_tpu.ops.resize import interpolate
+from patchfusion_tpu.ops.activations import gelu as act_gelu
 
 Array = jax.Array
 
@@ -104,7 +105,7 @@ class LinearSplitter(nn.Module):
                              align_corners=True)
             x = x + pe
         h = nn.Conv(self.mlp_dim, (1, 1), dtype=self.dtype, name="net_0")(x)
-        h = jax.nn.gelu(h, approximate=False)
+        h = act_gelu(h)
         h = nn.Conv(self.prev_nbins * self.split_factor, (1, 1),
                     dtype=self.dtype, name="net_2")(h)
         s = nn.relu(h) + 1e-3
@@ -245,7 +246,7 @@ class ConditionalLogBinomial(nn.Module):
         self.mlp_2 = nn.Conv(4, (1, 1), dtype=self.dtype)
 
     def _pt_tail(self, h: Array) -> Tuple[Array, Array]:
-        h = jax.nn.gelu(h, approximate=False)
+        h = act_gelu(h)
         h = self.mlp_2(h)
         pt = jax.nn.softplus(h.astype(jnp.float32))
         p = pt[..., :2] + self.p_eps

@@ -54,6 +54,9 @@ def test_trainer_two_epochs(tmp_path):
     state = create_train_state(variables["params"],
                                variables.get("batch_stats", {}), tx)
     step = make_train_step(net, tx)
+    # snapshot BEFORE training: the Trainer donates the state into the
+    # step, so the init arrays' buffers are consumed by the first step
+    w0 = np.array(variables["params"]["fusion_conv_0"]["kernel"])
     trainer = Trainer(net, tx, state, step, loader, max_epochs=2,
                       val_interval=10, save_checkpoint_interval=2,
                       log_interval=1, work_dir=str(tmp_path))
@@ -68,7 +71,6 @@ def test_trainer_two_epochs(tmp_path):
     assert "coarse_branch" not in blob["trainable"]
     assert "fusion" in blob["trainable"]
     # params actually moved
-    w0 = np.asarray(variables["params"]["fusion_conv_0"]["kernel"])
     w1 = np.asarray(trainer.state.trainable["fusion_conv_0"]["kernel"])
     assert not np.allclose(w0, w1)
 

@@ -1,0 +1,99 @@
+"""Fabricate a small U4K-format dataset for smoke/demo training runs.
+
+Generates N 4K scenes in the UnrealStereo4K on-disk layout the loader
+expects (data/u4k.py; reference estimator/datasets/u4k_dataset.py:118-137):
+`scene_XX/Image0/*.raw` uint8 BGR images, `Disp0/*.npy` float32 disparity,
+`Extrinsics{0,1}/*.txt` (focal + baseline -> depth_factor), plus train/val
+split files.
+
+The scenes are procedural but learnable: depth is a smooth low-frequency
+field with a few planar "objects", and the image is a deterministic
+function of depth (shading + albedo bands), so a fusion head can actually
+reduce the training loss — this backs the demonstrated `tools/train.py`
+run recorded in BASELINE.md, not just the profiled step.
+
+Usage: python tools/make_synth_u4k.py --root /tmp/u4k_synth --n-train 8
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def lowfreq(rng, shape, cells=(6, 10), lo=0.0, hi=1.0):
+    """Smooth random field in [lo, hi] via bilinear-upsampled noise."""
+    coarse = rng.random((cells[0], cells[1])).astype(np.float32)
+    ys = np.linspace(0, cells[0] - 1, shape[0], dtype=np.float32)
+    xs = np.linspace(0, cells[1] - 1, shape[1], dtype=np.float32)
+    y0 = np.clip(ys.astype(np.int32), 0, cells[0] - 2)
+    x0 = np.clip(xs.astype(np.int32), 0, cells[1] - 2)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    c00 = coarse[y0][:, x0]
+    c01 = coarse[y0][:, x0 + 1]
+    c10 = coarse[y0 + 1][:, x0]
+    c11 = coarse[y0 + 1][:, x0 + 1]
+    f = (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+         + c10 * fy * (1 - fx) + c11 * fy * fx)
+    return lo + (hi - lo) * f
+
+
+def make_scene(rng, h=2160, w=3840):
+    depth = lowfreq(rng, (h, w), cells=(5, 8), lo=4.0, hi=60.0)
+    # planar rectangles at distinct depths (sharp boundaries for the
+    # boundary/SEE metrics to latch onto)
+    for _ in range(rng.integers(3, 7)):
+        rh, rw = rng.integers(h // 10, h // 3), rng.integers(w // 10, w // 3)
+        y, x = rng.integers(0, h - rh), rng.integers(0, w - rw)
+        depth[y:y + rh, x:x + rw] = rng.uniform(2.0, 30.0)
+    # image = shading from depth + albedo stripes (invertible enough that
+    # depth is predictable from the image)
+    shade = 1.0 / (1.0 + depth / 20.0)
+    albedo = 0.25 + 0.75 * lowfreq(rng, (h, w), cells=(8, 14))
+    img = np.stack([shade * albedo,
+                    shade * (1 - 0.5 * albedo),
+                    0.3 + 0.7 * shade], axis=-1)
+    img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    return img8, depth.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--n-train", type=int, default=8)
+    ap.add_argument("--n-val", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--height", type=int, default=2160)
+    ap.add_argument("--width", type=int, default=3840)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    focal, base = 100.0, 0.5  # depth_factor = 50
+    lines = []
+    for i in range(args.n_train + args.n_val):
+        scene = os.path.join(args.root, f"scene_{i:02d}")
+        for sub in ("Image0", "Disp0", "Extrinsics0", "Extrinsics1"):
+            os.makedirs(os.path.join(scene, sub), exist_ok=True)
+        img8, depth = make_scene(rng, args.height, args.width)
+        # loader reads BGR raw (u4k.py:96-100)
+        img8[..., ::-1].tofile(os.path.join(scene, "Image0", "00000.raw"))
+        disp = (focal * base) / depth
+        np.save(os.path.join(scene, "Disp0", "00000.npy"), disp)
+        with open(os.path.join(scene, "Extrinsics0", "00000.txt"), "w") as f:
+            f.write(f"{focal} 0 0\n0 0 0 0.0\n")
+        with open(os.path.join(scene, "Extrinsics1", "00000.txt"), "w") as f:
+            f.write(f"{focal} 0 0\n0 0 0 {base}\n")
+        rel = f"scene_{i:02d}"
+        lines.append(f"{rel}/Image0/00000.png x {rel}/Disp0/00000.npy y\n")
+
+    with open(os.path.join(args.root, "train.txt"), "w") as f:
+        f.writelines(lines[:args.n_train])
+    with open(os.path.join(args.root, "val.txt"), "w") as f:
+        f.writelines(lines[args.n_train:])
+    print(f"wrote {args.n_train} train + {args.n_val} val scenes under "
+          f"{args.root}")
+
+
+if __name__ == "__main__":
+    main()
