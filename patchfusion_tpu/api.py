@@ -135,15 +135,20 @@ class PatchFusion:
 
     def engine(self, process_num: Optional[int] = None,
                tile_cfg: Optional[TileConfig] = None,
-               mesh=None) -> PatchFusionInference:
+               mesh=None, chunk_policy: str = "greedy"
+               ) -> PatchFusionInference:
         """mesh: optional jax.sharding.Mesh with a 'patch' axis — shards the
-        tile batch over ICI (parallel/mesh.py::make_patch_mesh)."""
+        tile batch over ICI (parallel/mesh.py::make_patch_mesh).
+        chunk_policy: "greedy" (fastest) or "divisor" (single compiled
+        chunk body — ~2/3 the cold-compile time, see _chunked)."""
         pn = process_num or self.default_process_num
         tc = tile_cfg or self.tile_cfg
-        key = (pn, tc.image_raw_shape, tc.patch_split_num, mesh)
+        key = (pn, tc.image_raw_shape, tc.patch_split_num, mesh,
+               chunk_policy)
         if key not in self._engines:
             self._engines[key] = PatchFusionInference(
-                self.net, self.variables, tc, process_num=pn, mesh=mesh)
+                self.net, self.variables, tc, process_num=pn, mesh=mesh,
+                chunk_policy=chunk_policy)
         return self._engines[key]
 
     def infer(self, image_lr: np.ndarray, image_hr: np.ndarray,

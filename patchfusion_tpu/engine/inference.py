@@ -62,18 +62,25 @@ def crop_resize_tiles(image_hr: Array, origins: Array,
                        align_corners=True)
 
 
-def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int]) -> Array:
+def _chunked(fn, arrays: Sequence[Array], chunk: Optional[int],
+             policy: str = "greedy") -> Array:
     """Apply fn over the leading (tile) axis in chunks via lax.map (the XLA
     replacement for the reference's torch.split loop,
     baseline_pretrain.py:293-307). `chunk` is a memory cap; no tile is ever
-    padded or recomputed."""
+    padded or recomputed.
+
+    policy="greedy" (default): full `chunk`-sized lax.map steps + one
+    remainder call — fastest at runtime (measured: full-size chunks beat
+    divisor chunks and beat absorbing the remainder into an oversized
+    tail), but the remainder is a SECOND compiled copy of fn's body.
+    policy="divisor": largest divisor of n that is <= chunk — one body,
+    ~2/3 the compile time of a p49 bucket at ~9% runtime cost (see
+    tools/profile_compile.py)."""
     n = arrays[0].shape[0]
     if chunk is None or chunk >= n:
         return fn(*arrays)
-    # greedy: full `chunk`-sized steps via lax.map + one remainder call
-    # (49 tiles under cap 8 run as 6x8+1). Measured on v5e: full-size chunks
-    # beat divisor chunks (7x7) and beat absorbing the remainder into an
-    # oversized tail (5x8+9) — batch 8 is the sweet spot for this pipeline.
+    if policy == "divisor":
+        chunk = max(d for d in range(1, chunk + 1) if n % d == 0)
     main = (n // chunk) * chunk
     outs = []
     if main:
@@ -97,7 +104,8 @@ class PatchFusionInference:
     def __init__(self, net: PatchFusionNet, variables: Dict[str, Any],
                  tile_cfg: TileConfig, process_num: Optional[int] = 4,
                  fusion: bool = True, mesh=None, patch_axis: str = "patch",
-                 rn_times_process_num: bool = False):
+                 rn_times_process_num: bool = False,
+                 chunk_policy: str = "greedy"):
         """mesh: optional jax.sharding.Mesh with a `patch_axis` — the tile
         batch of every pass is sharded over it (ICI tile parallelism, the
         multi-chip replacement for the reference's process_num chunk loop).
@@ -116,6 +124,8 @@ class PatchFusionInference:
         self.tile_group = (int(mesh.shape[patch_axis]) if mesh is not None
                            else process_num)
         self.rn_times_process_num = rn_times_process_num
+        # "greedy" (fastest) or "divisor" (single compiled chunk body)
+        self.chunk_policy = chunk_policy
         self._compiled: Dict[Any, Any] = {}
 
     def _shard_tiles(self, x: Array) -> Array:
@@ -187,7 +197,8 @@ class PatchFusionInference:
                     variables, crop_chunk,
                     method=PatchFusionNet.fine_forward)
                 return depth[..., 0]
-            return _chunked(run, [crops], self.process_num)[:n_tiles]
+            return _chunked(run, [crops], self.process_num,
+                            self.chunk_policy)[:n_tiles]
 
         coarse_depth, coarse_feats, g2l_feats = coarse_ctx
         if self.process_num is not None and n_tiles > self.process_num:
@@ -217,7 +228,8 @@ class PatchFusionInference:
                 return depth[..., 0]
 
             return _chunked(run_local, [crops, boxes_p],
-                            self.process_num)[:n_tiles]
+                            self.process_num,
+                            self.chunk_policy)[:n_tiles]
 
         if static_grids is not None:
             def cat_rois(feats):
@@ -245,7 +257,8 @@ class PatchFusionInference:
                 method=PatchFusionNet.infer_tiles)
             return depth[..., 0]
 
-        return _chunked(run, arrays, self.process_num)[:n_tiles]
+        return _chunked(run, arrays, self.process_num,
+                        self.chunk_policy)[:n_tiles]
 
     def _coarse_ctx(self, variables, image_lr):
         if not self.fusion:

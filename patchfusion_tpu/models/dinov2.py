@@ -24,6 +24,8 @@ init_values=1.0, interpolate_offset=0.1, no registers:
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
@@ -57,20 +59,29 @@ class Mlp(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
-def fused_attention(q: Array, k: Array, v: Array) -> Array:
+def fused_attention(q: Array, k: Array, v: Array,
+                    impl: Optional[str] = None) -> Array:
     """(B, N, H, Dh) self-attention, dtype-aware.
 
     bf16 path (TPU inference): custom einsum attention with bf16 probability
     matrices — the XLA builtin upcasts the N x N logits AND probs to f32,
     doubling the HBM traffic of the memory-bound softmax stage; keeping
     probs in bf16 (f32 logits/normalizer for stability) is measurably
-    faster at ViT shapes. (The Pallas flash kernel was benchmarked too but
-    loses at d_head=64/seq~1k — it is tuned for LLM shapes.)
+    faster at ViT shapes. At these sizes the op is VPU-softmax-bound, not
+    HBM-bound: a custom VMEM-resident Pallas kernel
+    (ops/pallas_attention.py) ties it exactly, and the stock flash/splash
+    kernels lose (BASELINE.md round-3). Set impl="pallas" (or
+    PF_ATTN_IMPL=pallas) to use the kernel — e.g. for retuning on a new
+    TPU generation.
     f32 path: XLA dot_product_attention (exact parity with the reference's
     dense attention, dinov2/layers/attention.py:48-61).
     """
     if q.dtype != jnp.bfloat16:
         return jax.nn.dot_product_attention(q, k, v)
+    impl = impl or os.environ.get("PF_ATTN_IMPL", "einsum")
+    if impl == "pallas":
+        from patchfusion_tpu.ops.pallas_attention import vit_attention
+        return vit_attention(q, k, v)
     dh = q.shape[-1]
     scale = dh ** -0.5
     # bf16 logits: softmax values are bounded and max-subtracted, so bf16's

@@ -15,6 +15,14 @@ qk^T -> one-shot masked softmax -> pv entirely on-chip, and writes only the
 (N, Dh) output. HBM traffic is exactly Q+K+V+O (~136 MB per vitl layer call
 at batch 16) — ~24x less than the einsum path.
 
+Measured result (v5e-1, BASELINE.md round-3): the kernel TIES the einsum
+(4.4-5.0 ms both at batch 16) — the op is VPU-softmax-bound, not HBM-bound,
+and both formulations pay the same N^2 max/exp passes (XLA overlaps the
+einsum's HBM traffic behind them). Kept as a selectable implementation
+(PF_ATTN_IMPL=pallas / fused_attention(impl="pallas")) because the
+tradeoff is generation-dependent: on a part with a faster VPU or slower
+HBM the VMEM-resident form wins.
+
 Numerics match `models/dinov2.fused_attention`'s bf16 contract: bf16 q*k
 logits in f32 accumulation, f32 max-subtracted exp, probabilities cast to
 bf16 for the MXU p@v contraction, f32 normalizer. (Reference semantics:

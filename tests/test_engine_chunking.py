@@ -79,3 +79,17 @@ def test_infer_batch_matches_per_image(rng):
             np.testing.assert_allclose(batched[i], singles[i],
                                        rtol=2e-4, atol=2e-4,
                                        err_msg=f"{cai_mode} image {i}")
+
+
+def test_chunked_divisor_policy():
+    """divisor policy: one uniform body, no remainder call."""
+    shapes = []
+
+    def fn(x):
+        shapes.append(x.shape[0])
+        return x * 2
+
+    x = jnp.arange(49.0)[:, None]
+    out = _chunked(fn, [x], chunk=16, policy="divisor")  # -> 7x7
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
+    assert set(shapes) == {7}

@@ -23,6 +23,10 @@ def parse_args():
                    choices=["normal", "test_in", "test_out", "general"])
     p.add_argument("--cai-mode", default="m1")
     p.add_argument("--process-num", type=int, default=4)
+    p.add_argument("--chunk-policy", default="greedy",
+                   choices=["greedy", "divisor"],
+                   help="tile chunking: greedy (fastest) or divisor "
+                        "(single compiled chunk body, lighter cold start)")
     p.add_argument("--mesh", default="auto",
                    choices=["auto", "patch", "none"],
                    help="shard the tile batch over a `patch` device mesh "
@@ -117,7 +121,8 @@ def main():
         tile_cfg = TileConfig(tuple(args.image_raw_shape),
                               tuple(args.patch_split_num),
                               model.tile_cfg.patch_process_shape)
-        engine = model.engine(args.process_num, tile_cfg, mesh=mesh)
+        engine = model.engine(args.process_num, tile_cfg, mesh=mesh,
+                              chunk_policy=args.chunk_policy)
         if mesh is not None:
             logger.info("shard report (%s): %s", args.cai_mode,
                         engine.shard_report(args.cai_mode))
