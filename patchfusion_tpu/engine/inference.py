@@ -502,8 +502,18 @@ class PatchFusionInference:
             image_hr = jax.device_put(jnp.asarray(image_hr))
         if isinstance(image_lr, np.ndarray):
             image_lr = jax.device_put(jnp.asarray(image_lr))
+        if n_random == 0:
+            # m1/m2 pass an empty origins array: upload it ONCE — a fresh
+            # host->device transfer per call is a synchronous round trip
+            # through the remote-TPU tunnel on an otherwise async dispatch
+            if getattr(self, "_empty_rand", None) is None:
+                self._empty_rand = jax.device_put(
+                    jnp.zeros((0, 2), jnp.int32))
+            rand_dev = self._empty_rand
+        else:
+            rand_dev = jnp.asarray(rand)
         return self._compiled[key](self.variables, image_lr, image_hr,
-                                   jnp.asarray(rand))
+                                   rand_dev)
 
     def infer_batch(self, images_lr: Array, images_hr: Array,
                     cai_mode: str = "m1",

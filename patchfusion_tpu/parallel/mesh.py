@@ -82,3 +82,13 @@ def initialize_distributed(coordinator: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+        # warm the cross-process collective context NOW, while all
+        # processes are aligned at the initialize rendezvous: the backend
+        # (Gloo on CPU) creates its context lazily on the FIRST collective
+        # with a hard ~30 s peer timeout — if that first collective is a
+        # metric gather issued after minutes of per-rank skew (uneven
+        # shards, compile cache differences), context creation times out
+        # and the job dies (observed in the 2-process Tester test under
+        # load)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("patchfusion-dist-init")

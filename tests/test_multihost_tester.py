@@ -29,8 +29,8 @@ import jax
 
 coord, pid, data_dir, out_path = (sys.argv[1], int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
-jax.distributed.initialize(coordinator_address=coord, num_processes=2,
-                           process_id=pid)
+from patchfusion_tpu.parallel.mesh import initialize_distributed
+initialize_distributed(coord, 2, pid)  # includes the context warm-up sync
 
 import __graft_entry__ as graft
 from patchfusion_tpu.api import PatchFusion

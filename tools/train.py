@@ -101,6 +101,8 @@ def main():
                           drop_last=shuffle)
 
     train_loader = build_loader(cfg.train_dataloader, shuffle=True)
+    logger.info("train dataset: %d samples, %d steps/epoch",
+                len(train_loader.dataset), len(train_loader))
     try:
         val_loader = build_loader(cfg.val_dataloader, shuffle=False)
     except (FileNotFoundError, KeyError):
@@ -150,6 +152,8 @@ def main():
         logger.info("resumed from %s (epoch %s)", args.ckp_path,
                     blob.get("epoch"))
 
+    logger.info("variables initialized (%d params leaves)",
+                len(jax.tree.leaves(variables["params"])))
     step_fn = make_train_step(net, tx, min_depth=mc["min_depth"],
                               max_depth=mc["max_depth"])
 
