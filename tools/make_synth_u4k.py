@@ -18,25 +18,21 @@ Usage: python tools/make_synth_u4k.py --root /tmp/u4k_synth --n-train 8
 import argparse
 import os
 
+import cv2
 import numpy as np
 
 
 def lowfreq(rng, shape, cells=(6, 10), lo=0.0, hi=1.0):
-    """Smooth random field in [lo, hi] via bilinear-upsampled noise."""
+    """Smooth random field in [lo, hi] via bilinear-upsampled noise.
+
+    One cv2.resize C call: per-pixel numpy arithmetic at 4K is minutes on
+    small 1-vCPU hosts (slow first-touch page faults), so big-array work is
+    kept to single C-level passes throughout this module.
+    """
     coarse = rng.random((cells[0], cells[1])).astype(np.float32)
-    ys = np.linspace(0, cells[0] - 1, shape[0], dtype=np.float32)
-    xs = np.linspace(0, cells[1] - 1, shape[1], dtype=np.float32)
-    y0 = np.clip(ys.astype(np.int32), 0, cells[0] - 2)
-    x0 = np.clip(xs.astype(np.int32), 0, cells[1] - 2)
-    fy = (ys - y0)[:, None]
-    fx = (xs - x0)[None, :]
-    c00 = coarse[y0][:, x0]
-    c01 = coarse[y0][:, x0 + 1]
-    c10 = coarse[y0 + 1][:, x0]
-    c11 = coarse[y0 + 1][:, x0 + 1]
-    f = (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
-         + c10 * fy * (1 - fx) + c11 * fy * fx)
-    return lo + (hi - lo) * f
+    coarse = np.float32(lo) + np.float32(hi - lo) * coarse
+    return cv2.resize(coarse, (shape[1], shape[0]),
+                      interpolation=cv2.INTER_LINEAR)
 
 
 def make_scene(rng, h=2160, w=3840):
@@ -46,16 +42,24 @@ def make_scene(rng, h=2160, w=3840):
     for _ in range(rng.integers(3, 7)):
         rh, rw = rng.integers(h // 10, h // 3), rng.integers(w // 10, w // 3)
         y, x = rng.integers(0, h - rh), rng.integers(0, w - rw)
-        depth[y:y + rh, x:x + rw] = rng.uniform(2.0, 30.0)
+        depth[y:y + rh, x:x + rw] = np.float32(rng.uniform(2.0, 30.0))
     # image = shading from depth + albedo stripes (invertible enough that
-    # depth is predictable from the image)
-    shade = 1.0 / (1.0 + depth / 20.0)
-    albedo = 0.25 + 0.75 * lowfreq(rng, (h, w), cells=(8, 14))
-    img = np.stack([shade * albedo,
-                    shade * (1 - 0.5 * albedo),
-                    0.3 + 0.7 * shade], axis=-1)
-    img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
-    return img8, depth.astype(np.float32)
+    # depth is predictable from the image); built channel-by-channel into a
+    # preallocated uint8 buffer to minimize full-res temporaries
+    shade = np.float32(1.0) / (np.float32(1.0) + depth * np.float32(0.05))
+    albedo = np.float32(0.25) + np.float32(0.75) * lowfreq(
+        rng, (h, w), cells=(8, 14))
+    img8 = np.empty((h, w, 3), np.uint8)
+    np.multiply(shade, albedo * np.float32(255.0), out=albedo)
+    img8[..., 0] = albedo  # float->uint8 C-cast truncates; range is [0,255]
+    np.subtract(np.float32(255.0), albedo * np.float32(0.5), out=albedo)
+    np.multiply(shade, albedo, out=albedo)
+    img8[..., 1] = albedo
+    np.multiply(shade, np.float32(0.7 * 255.0), out=shade)
+    np.add(shade, np.float32(0.3 * 255.0), out=shade)
+    np.clip(shade, 0, 255, out=shade)
+    img8[..., 2] = shade
+    return img8, depth
 
 
 def main():
