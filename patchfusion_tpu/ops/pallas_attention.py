@@ -43,32 +43,44 @@ Array = jax.Array
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
-    """One (batch*head) pair: q/k/v refs are (1, Npad, Dh) bf16 blocks."""
+    """One (batch*head) pair: q/k/v refs are (1, Npad, Dh) bf16 blocks.
+
+    Every pass over the (Npad, Npad) intermediate costs ~0.75 ms at the
+    vitl chunk shapes (VMEM bandwidth, measured v5e-1), so the kernel is
+    organized to touch it the minimum number of times:
+
+      * the N^2 stage runs entirely in bf16 (logits cast straight off the
+        f32 MXU accumulator, bf16 max/sub/exp) — halving the intermediate
+        width beats f32 exp precision; the error stays inside the
+        bf16-probability contract (~1e-2), and the normalizer accumulates
+        in f32;
+      * there is NO mask pass at all: softmax is shift-invariant in the
+        row max, zero-padded k columns produce logits of exactly 0 and
+        therefore probability exp(-m) each, and zero-padded v rows add
+        nothing to p@v — so the padding is corrected exactly by
+        subtracting (Npad - N) * exp(-m) from the row normalizer, a
+        (Npad, 1) column op instead of an (Npad, Npad) pass.
+    """
     q = q_ref[0]  # (Npad, Dh)
     k = k_ref[0]
     v = v_ref[0]
     npad = q.shape[0]
-
-    # bf16 logits with f32 accumulation on the MXU (matches the einsum
-    # path's preferred_element_type contract)
     s = jax.lax.dot_general(
         (q * jnp.asarray(scale, q.dtype)), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (Npad, Npad)
-
-    if n_valid < npad:
-        col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    m = jnp.max(s, axis=-1, keepdims=True)  # >= true max (pad logits = 0)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    if n_valid < npad:
+        mf = m.astype(jnp.float32)
+        l = l - (npad - n_valid) * jnp.exp(-mf)
     o = jax.lax.dot_general(
-        p.astype(q.dtype), v,
+        p, v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Npad, Dh)
-    # padded q rows have l == 0 (all-masked); guard the divide — the rows
-    # are sliced off by the caller but NaNs would poison any XLA fusion
+    # l > 0 whenever at least one valid column exists; the guard protects
+    # the all-padded degenerate case only
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -95,6 +107,179 @@ def _attn_call(q: Array, k: Array, v: Array, n_valid: int,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _attn_kernel_blocked(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                         *, scale: float):
+    """One (bh, q-row-block) step: q (1, R, Dh), k/v (1, Npad, Dh) resident.
+
+    Differences vs _attn_kernel that buy the speed (BASELINE.md round-3):
+      * column masking is a precomputed additive bias row (one VPU add)
+        instead of iota+compare+select (three passes over N^2);
+      * the f32 score block is (R, Npad) instead of (Npad, Npad), cutting
+        peak VMEM ~Npad/R x so Mosaic can double-buffer the q/o streams;
+      * k/v block indices are constant across the inner grid axis, so they
+        are DMA'd once per (batch*head) pair, not once per step.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        (q * jnp.asarray(scale, q.dtype)), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R, Npad)
+    s = s + bias_ref[0]  # (1, Npad) broadcast: 0 valid / -1e30 padded
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_rows"))
+def _attn_call_blocked(q: Array, k: Array, v: Array, bias: Array,
+                       scale: float, block_rows: int) -> Array:
+    bh, npad, dh = q.shape
+    nb = npad // block_rows
+    kernel = functools.partial(_attn_kernel_blocked, scale=scale)
+    flops = 2 * 2 * bh * npad * npad * dh
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, nb),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, dh), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, npad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * bh * npad * dh * q.dtype.itemsize,
+            transcendentals=bh * npad * npad),
+    )(q, k, v, bias)
+
+
+def _attn_kernel_mxsum(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                       *, scale: float, bf16_exp: bool):
+    """Whole-row step with the softmax row-sum ridden on the PV matmul:
+    v is pre-augmented with a ones column (Dh 64 -> 65, zero-padded to 128
+    which the MXU pads anyway), so l = (p @ v_ext)[:, 64] and the VPU sum
+    pass over the (N, N) probabilities disappears."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]  # (Npad, 128): [v | ones | 0-pad]
+    s = jax.lax.dot_general(
+        (q * jnp.asarray(scale, q.dtype)), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    if bf16_exp:
+        p = jnp.exp((s - m).astype(jnp.bfloat16))
+    else:
+        p = jnp.exp(s - m).astype(jnp.bfloat16)
+    o_ext = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Npad, 128)
+    dh = o_ref.shape[-1]
+    l = o_ext[:, dh:dh + 1]
+    o = o_ext[:, :dh]
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bf16_exp"))
+def _attn_call_mxsum(q: Array, k: Array, v_ext: Array, bias: Array,
+                     scale: float, bf16_exp: bool) -> Array:
+    bh, npad, dh = q.shape
+    kernel = functools.partial(_attn_kernel_mxsum, scale=scale,
+                               bf16_exp=bf16_exp)
+    flops = 2 * 2 * bh * npad * npad * dh
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, npad, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npad, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, npad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * bh * npad * dh * q.dtype.itemsize,
+            transcendentals=bh * npad * npad),
+    )(q, k, v_ext, bias)
+
+
+def vit_attention_mxsum(q: Array, k: Array, v: Array,
+                        bf16_exp: bool = False) -> Array:
+    """vit_attention with the row-sum on the MXU (see _attn_kernel_mxsum)."""
+    b, n, h, dh = q.shape
+    npad = _round_up(n, 128)
+    scale = float(dh) ** -0.5
+
+    def to_grid(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+        if npad != n:
+            x = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+        return x
+
+    v_ext = to_grid(v)
+    ones = jnp.where(
+        (jnp.arange(npad) < n)[None, :, None], jnp.ones((), v_ext.dtype), 0)
+    v_ext = jnp.concatenate(
+        [v_ext, jnp.broadcast_to(ones.astype(v_ext.dtype),
+                                 (b * h, npad, 1)),
+         jnp.zeros((b * h, npad, 128 - dh - 1), v_ext.dtype)], axis=-1)
+    bias = jnp.where(jnp.arange(npad) < n, 0.0, -1e30).astype(
+        jnp.float32).reshape(1, npad)
+    o = _attn_call_mxsum(to_grid(q), to_grid(k), v_ext, bias, scale,
+                         bf16_exp)
+    o = o[:, :n].reshape(b, h, n, dh)
+    return jnp.transpose(o, (0, 2, 1, 3))
+
+
+def vit_attention_blocked(q: Array, k: Array, v: Array,
+                          block_rows: int = 384) -> Array:
+    """Row-blocked VMEM-resident attention (same contract as vit_attention).
+
+    block_rows must divide the padded sequence length (N rounded up to 128);
+    384 is the measured v5e sweet spot for the vitl fine-branch shapes.
+    """
+    b, n, h, dh = q.shape
+    npad = _round_up(n, 128)
+    while npad % block_rows:
+        block_rows //= 2
+    scale = float(dh) ** -0.5
+
+    def to_grid(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+        if npad != n:
+            x = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+        return x
+
+    bias = jnp.where(jnp.arange(npad) < n, 0.0, -1e30).astype(
+        jnp.float32).reshape(1, npad)
+    o = _attn_call_blocked(to_grid(q), to_grid(k), to_grid(v), bias,
+                           scale, int(block_rows))
+    o = o[:, :n].reshape(b, h, n, dh)
+    return jnp.transpose(o, (0, 2, 1, 3))
 
 
 def vit_attention(q: Array, k: Array, v: Array) -> Array:
