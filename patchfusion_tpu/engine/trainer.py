@@ -42,7 +42,7 @@ class Trainer:
                  collect_keys=BATCH_KEYS, eval_start: int = 0,
                  train_log_img_interval: int = 500,
                  val_log_img_interval: int = 50,
-                 logger=None, donate: bool = True):
+                 logger=None, donate: bool = True, start_epoch: int = 0):
         self.net = net
         self.tx = tx
         self.state = state
@@ -50,6 +50,9 @@ class Trainer:
         self.val_loader = val_loader
         self.val_fn = val_fn
         self.max_epochs = max_epochs
+        # resume continues AFTER the checkpoint's epoch (reference
+        # trainer.py resume semantics: epoch loop picks up where it left)
+        self.start_epoch = start_epoch
         self.val_interval = val_interval
         self.save_interval = save_checkpoint_interval
         self.log_interval = log_interval
@@ -172,7 +175,7 @@ class Trainer:
         self.logger.info("saved checkpoint to %s", path)
 
     def run(self) -> None:
-        for epoch in range(1, self.max_epochs + 1):
+        for epoch in range(self.start_epoch + 1, self.max_epochs + 1):
             self.train_epoch(epoch)
             if epoch >= self.eval_start and epoch % self.val_interval == 0:
                 self.val_epoch(epoch)

@@ -139,6 +139,7 @@ def main():
 
     state = create_train_state(variables["params"],
                                variables.get("batch_stats", {}), tx)
+    start_epoch = 0
     if args.resume and args.ckp_path and args.ckp_path.endswith(".ckpt"):
         from patchfusion_tpu.engine.checkpoint import (load_checkpoint,
                                                        restore_opt_state)
@@ -149,6 +150,7 @@ def main():
             batch_stats=blob["batch_stats"],
             opt_state=restore_opt_state(state.opt_state,
                                         blob["opt_state"]))
+        start_epoch = int(blob.get("epoch", 0))
         logger.info("resumed from %s (epoch %s)", args.ckp_path,
                     blob.get("epoch"))
 
@@ -197,7 +199,7 @@ def main():
                       val_log_img_interval=tcfg.get(
                           "val_log_img_interval", 50),
                       work_dir=work_dir, use_wandb=args.use_wandb,
-                      logger=logger)
+                      logger=logger, start_epoch=start_epoch)
     trainer.run()
 
 
