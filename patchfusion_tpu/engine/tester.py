@@ -27,19 +27,41 @@ class Tester:
         self.gray_scale = gray_scale
         self.logger = logger or setup_logger()
 
+    def _rebucket(self, image_raw_shape):
+        """Engine for a non-default raw resolution (reference tester.py:46
+        `image_raw_shape` argument -> prepare_tile_cfg re-bucketing). The
+        compiled engine is shape-static, so a different raw shape needs a
+        fresh engine over a re-derived TileConfig; everything else (net,
+        variables, chunking, mesh) carries over."""
+        tc = getattr(self.engine, "tile_cfg", None)
+        if tc is None or tuple(image_raw_shape) == tuple(tc.image_raw_shape):
+            return self.engine
+        from patchfusion_tpu.engine.inference import PatchFusionInference
+        from patchfusion_tpu.models.patchfusion import TileConfig
+        new_tc = TileConfig(tuple(image_raw_shape), tc.patch_split_num,
+                            tc.patch_process_shape)
+        return PatchFusionInference(
+            self.engine.net, self.engine.variables, new_tc,
+            process_num=self.engine.process_num, fusion=self.engine.fusion,
+            mesh=self.engine.mesh, patch_axis=self.engine.patch_axis,
+            rn_times_process_num=self.engine.rn_times_process_num,
+            chunk_policy=self.engine.chunk_policy)
+
     def run(self, cai_mode: str = "m1",
             image_raw_shape=None, seed: int = 0) -> Dict[str, float]:
         rng = np.random.default_rng(seed)
         results: List[Dict[str, float]] = []
         dataset = self.dataloader.dataset
+        engine = (self._rebucket(image_raw_shape)
+                  if image_raw_shape is not None else self.engine)
         if self.save:
             os.makedirs(self.work_dir, exist_ok=True)
 
         for i, batch in enumerate(self.dataloader):
             image_lr = np.asarray(batch["image_lr"])
             image_hr = np.asarray(batch["image_hr"])[0]
-            depth = self.engine.infer(image_lr, image_hr, cai_mode=cai_mode,
-                                      rng=rng)
+            depth = engine.infer(image_lr, image_hr, cai_mode=cai_mode,
+                                 rng=rng)
             depth = np.asarray(depth)
 
             if self.save:

@@ -163,6 +163,35 @@ def test_metrics_match_reference_formulas(rng):
     assert m["abs_rel"] < 0.1
 
 
+def test_synth_demo_splits_exist(tmp_path, monkeypatch):
+    """Regression (VERDICT r3): the demo training config referenced a
+    train_x16.txt split that tools/make_synth_u4k.py never wrote. Generate a
+    tiny synth dataset and assert every split file the demo config points at
+    exists under the generated root."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_synth_u4k
+
+    root = str(tmp_path / "u4k_synth")
+    monkeypatch.setattr(sys, "argv", [
+        "make_synth_u4k.py", "--root", root, "--n-train", "2", "--n-val",
+        "1", "--height", "96", "--width", "160"])
+    make_synth_u4k.main()
+
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/demo/train_fusion_synth_vitl.py"))
+    for dl in (cfg.train_dataloader, cfg.val_dataloader):
+        split = dl["dataset"]["split"]
+        local = os.path.join(root, os.path.basename(split))
+        assert os.path.isfile(local), f"{os.path.basename(split)} missing"
+        with open(local) as f:
+            assert len(f.read().splitlines()) > 0
+    # the oversampled list is the train list repeated
+    with open(os.path.join(root, "train_x16.txt")) as f:
+        assert len(f.read().splitlines()) == 2 * 16
+
+
 def test_gaussian_blend_and_pfm_roundtrip(tmp_path, rng):
     from patchfusion_tpu.data.pfm import read_pfm
     data = rng.random((8, 10), dtype=np.float32)

