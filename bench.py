@@ -169,13 +169,25 @@ def main():
     img = jax.device_put(jnp.asarray(
         np.random.default_rng(0).random((2160, 3840, 3), np.float32)))
     lr = jax.device_put(jax.image.resize(img, (392, 518, 3), "linear")[None])
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    cache_before = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) \
+        else 0
     t0 = time.time()
     d = engine.infer(lr, img, cai_mode=mode)
     # fence by host readback of a value depending on the whole output:
     # through the remote-TPU tunnel block_until_ready can return before
     # execution finishes, silently inflating throughput
     float(d.mean())
-    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    compile_s = time.time() - t0
+    cache_after = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) \
+        else 0
+    # cold = this run actually compiled (new persistent-cache entries);
+    # warm = deserialize from the committed cache. Recorded per round in
+    # BENCH_r*.json so compile-cost regressions are visible (VERDICT r3).
+    cold = cache_after > cache_before
+    print(f"compile+first: {compile_s:.1f}s "
+          f"({'cold' if cold else 'warm cache'})", file=sys.stderr,
+          flush=True)
 
     # latency: fence every image (includes the host round trip)
     times = []
@@ -204,6 +216,9 @@ def main():
         "value": round(img_per_s, 4),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / A100_P49_IMG_PER_S, 3),
+        "latency_ms": round(lat * 1e3, 1),
+        "compile_first_s": round(compile_s, 1),
+        "compile_cold": cold,
     }))
 
 

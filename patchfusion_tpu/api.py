@@ -155,7 +155,7 @@ class PatchFusion:
               cai_mode: str = "m1", process_num: Optional[int] = None,
               image_raw_shape=None, patch_split_num=None,
               rng: Optional[np.random.Generator] = None,
-              mesh=None) -> np.ndarray:
+              mesh=None, chunk_policy: str = "greedy") -> np.ndarray:
         """image_lr (1,h,w,3) NHWC in [0,1]; image_hr (H,W,3). Returns
         depth (H', W') numpy."""
         tc = self.tile_cfg
@@ -164,7 +164,8 @@ class PatchFusion:
                 tuple(image_raw_shape or tc.image_raw_shape),
                 tuple(patch_split_num or tc.patch_split_num),
                 tc.patch_process_shape)
-        eng = self.engine(process_num, tc, mesh=mesh)
+        eng = self.engine(process_num, tc, mesh=mesh,
+                          chunk_policy=chunk_policy)
         return np.asarray(eng.infer(image_lr, image_hr, cai_mode=cai_mode,
                                     rng=rng))
 

@@ -109,6 +109,9 @@ class DataLoader:
                     if stop.is_set():
                         return
                     q.put(f.result())
+            except BaseException as e:  # propagate to the consumer: a
+                # loader failure must fail the run, not end the epoch early
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -119,6 +122,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

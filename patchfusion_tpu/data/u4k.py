@@ -87,9 +87,12 @@ class UnrealStereo4kDataset:
         disp_gt = np.asarray(disp_gt, np.float32)
         depth_gt = info["depth_factor"] / disp_gt
 
+        # raw image shape = the GT disparity's shape (2160x3840 for real
+        # U4K; lets synthetic/toy datasets use other resolutions)
+        rh, rw = disp_gt.shape
         if self.mode == "train":
             image = np.fromfile(info["img_path"], dtype=np.uint8)
-            image = image.reshape(2160, 3840, 3)
+            image = image.reshape(rh, rw, 3)
             image, (depth_gt, disp_gt) = aug_rotate(
                 image, [depth_gt, disp_gt],
                 self.transform_cfg.get("degree", 1.0), self.rng)
@@ -97,7 +100,7 @@ class UnrealStereo4kDataset:
             image = native.decode_bgr_u8(np.ascontiguousarray(image))
         else:
             # fused native read+decode
-            image = native.load_raw_bgr(info["img_path"], 2160, 3840)
+            image = native.load_raw_bgr(info["img_path"], rh, rw)
 
         if self.mode == "train":
             image = aug_color(image, self.rng)

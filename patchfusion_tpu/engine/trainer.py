@@ -103,11 +103,15 @@ class Trainer:
         if hasattr(self.train_loader, "sampler"):
             self.train_loader.sampler.set_epoch(epoch)
         t0 = time.time()
+        it = -1
         for it, batch in enumerate(self.train_loader):
             device_batch = self._put(collect_input(batch,
                                                    self.collect_keys))
             self.state, logs = self._step(self.state, device_batch)
             if it % self.log_interval == 0:
+                # host readback = a pipeline sync point; at the default
+                # interval (100) it costs <0.1% of step time, but don't
+                # lower log_interval to 1 on a remote-tunnel TPU
                 loss = float(logs["total_loss"])
                 dt = time.time() - t0
                 self.logger.info(
@@ -119,6 +123,14 @@ class Trainer:
             if it % self.train_log_img_interval == 0:
                 self.log_images(batch, logs.get("pred"), epoch,
                                 prefix="Train")
+        jax.block_until_ready(self.state.step)
+        dt = time.time() - t0
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        self.logger.info(
+            "epoch %d done: %d iters in %.1fs (%.2f steps/s)%s", epoch,
+            it + 1, dt, (it + 1) / max(dt, 1e-9),
+            f", peak HBM {peak / 2**30:.2f} GiB" if peak else "")
 
     def log_images(self, batch: Dict[str, Any], pred, epoch: int,
                    prefix: str = "Train") -> None:
@@ -143,6 +155,7 @@ class Trainer:
         metric gather across processes."""
         if self.val_loader is None or self.val_fn is None:
             return None
+        t0 = time.time()
         results = []
         for it, batch in enumerate(self.val_loader):
             r = self.val_fn(self.state, batch)
@@ -162,6 +175,10 @@ class Trainer:
                 results, size=len(self.val_loader.dataset))
         metrics = self.val_loader.dataset.evaluate(results,
                                                    logger=self.logger)
+        # the training stall a val epoch costs (per-image tiled inference;
+        # first call per run also pays the m1 engine compile)
+        self.logger.info("val epoch %d: %d images in %.1fs wall", epoch,
+                         len(results), time.time() - t0)
         if self.wandb:
             self.wandb.log({f"Val/{k}": v for k, v in metrics.items()})
         return metrics

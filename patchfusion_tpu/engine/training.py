@@ -48,10 +48,18 @@ def make_onecycle_optimizer(max_lr: float, total_steps: int,
     """AdamW + OneCycle (cosine) LR + cycled b1 momentum + norm clipping —
     the reference's mmengine optim_wrapper + torch OneCycleLR
     (configs/.../depthanything_vitl_patchfusion_u4k.py:96-108)."""
-    lr = optax.cosine_onecycle_schedule(
-        transition_steps=total_steps, peak_value=max_lr,
-        pct_start=pct_start, div_factor=div_factor,
-        final_div_factor=final_div_factor)
+    if total_steps > 1:
+        # optax's onecycle yields nan when a phase rounds to zero steps
+        # (pct_start*total_steps < 1 at tiny step counts) — clamp so both
+        # phases are at least one step long
+        pct_start = min(max(pct_start, 1.0 / total_steps),
+                        1.0 - 1.0 / total_steps)
+        lr = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=max_lr,
+            pct_start=pct_start, div_factor=div_factor,
+            final_div_factor=final_div_factor)
+    else:
+        lr = optax.constant_schedule(max_lr / div_factor)
 
     def b1_schedule(step):
         # torch cycle_momentum: momentum anneals max->base while lr rises,
@@ -87,8 +95,19 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(params: Dict[str, Any], batch_stats: Dict[str, Any],
-                       tx: optax.GradientTransformation) -> TrainState:
+                       tx: optax.GradientTransformation,
+                       frozen_dtype=None) -> TrainState:
+    """frozen_dtype=bf16 is the --amp storage split: the frozen ZoeDepth
+    branches (no optimizer state, no gradients) are stored at the compute
+    precision, halving their HBM footprint, while the trainable fusion
+    params keep f32 masters (the reference's torch.amp analogue,
+    tools/train.py:40-44 — there autocast computes in fp16; here the
+    bf16-built net computes in bf16 and this controls storage)."""
     trainable, frozen = split_params(params)
+    if frozen_dtype is not None:
+        frozen = jax.tree.map(
+            lambda x: x.astype(frozen_dtype)
+            if x.dtype == jnp.float32 else x, frozen)
     return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                       frozen=frozen, batch_stats=batch_stats,
                       opt_state=tx.init(trainable))

@@ -32,6 +32,11 @@ class SILogLoss:
                  max_depth: float,
                  additional_mask: Optional[Array] = None) -> Array:
         # pred/target: (B, H, W, 1) NHWC
+        if pred.dtype != jnp.float32:
+            # bf16 (--amp) training: the loss reduction runs in f32 — bf16
+            # log/var would dominate the gradient noise (trace-time guard so
+            # f32 programs are bit-identical)
+            pred = pred.astype(jnp.float32)
         h_i, w_i = pred.shape[1:3]  # pre-resize shape, as the reference
         if pred.shape[1:3] != target.shape[1:3]:
             pred = interpolate(pred, target.shape[1:3], mode="bilinear",

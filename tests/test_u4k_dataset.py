@@ -65,3 +65,79 @@ def test_u4k_train_mode(u4k_root):
     x1, y1, x2, y2 = s["bboxs"]
     assert x2 - x1 == 960 and y2 - y1 == 540
     assert 0 <= y1 <= 2160 - 540 and 0 <= x1 <= 3840 - 960
+
+
+def test_u4k_nonstandard_raw_shape(tmp_path):
+    """Raw image shape follows the GT disparity shape (synthetic/toy
+    datasets at non-4K resolutions; tools/make_synth_u4k.py --height/
+    --width)."""
+    rng = np.random.default_rng(1)
+    for sub in ("Image0", "Disp0", "Extrinsics0", "Extrinsics1"):
+        os.makedirs(tmp_path / "s" / sub)
+    h, w = 84, 112
+    rng.integers(0, 255, (h, w, 3), np.uint8).tofile(
+        tmp_path / "s" / "Image0" / "0.raw")
+    disp = (rng.random((h, w), np.float32) * 50 + 1).astype(np.float32)
+    np.save(tmp_path / "s" / "Disp0" / "0.npy", disp)
+    (tmp_path / "s" / "Extrinsics0" / "0.txt").write_text(
+        "100.0 0 0\n0 0 0 1.0\n")
+    (tmp_path / "s" / "Extrinsics1" / "0.txt").write_text(
+        "100.0 0 0\n0 0 0 1.5\n")
+    (tmp_path / "split.txt").write_text(
+        "s/Image0/0.png x s/Disp0/0.npy y\n")
+    for mode, cfg in (("infer", dict(network_process_size=[42, 56])),
+                      ("train", dict(degree=1.0, random_crop=True,
+                                     network_process_size=[42, 56]))):
+        ds = UnrealStereo4kDataset(
+            mode=mode, data_root=str(tmp_path),
+            split=str(tmp_path / "split.txt"), transform_cfg=cfg,
+            min_depth=1e-3, max_depth=80, resize_mode="depth-anything",
+            patch_raw_shape=(42, 56))
+        s = ds[0]
+        assert s["image_lr"].shape == (42, 56, 3)
+        if mode == "infer":
+            assert s["image_hr"].shape == (h, w, 3)
+            assert s["depth_gt"].shape == (h, w, 1)
+
+
+def test_loader_propagates_worker_errors():
+    """A dataset exception must fail the epoch loudly, not end it early
+    (a swallowed loader error once produced a '0 iters' epoch that exited
+    0 and saved a checkpoint)."""
+    from patchfusion_tpu.data.loader import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i >= 2:
+                raise ValueError("boom")
+            return {"x": np.zeros((2, 2), np.float32)}
+
+    loader = DataLoader(Broken(), batch_size=1, num_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        for _ in loader:
+            pass
+
+
+def test_onecycle_tiny_total_steps_finite():
+    """optax's onecycle schedule yields nan when a phase rounds to zero
+    steps; the optimizer must stay finite even for 1-2 step runs."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from patchfusion_tpu.engine.training import make_onecycle_optimizer
+
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 0.1)}
+    for ts in (1, 2, 3):
+        tx = make_onecycle_optimizer(1e-4, total_steps=ts)
+        st = tx.init(params)
+        p = params
+        for _ in range(3):
+            up, st = tx.update(grads, st, p)
+            p = optax.apply_updates(p, up)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(p)), ts

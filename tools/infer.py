@@ -22,6 +22,12 @@ def main():
                            "depthanything_vitl_patchfusion_u4k.py")
     p.add_argument("--cai-mode", default="m1")
     p.add_argument("--process-num", type=int, default=4)
+    p.add_argument("--chunk-policy", default="divisor",
+                   choices=["greedy", "divisor"],
+                   help="divisor (default here): one compiled chunk body "
+                        "— ~2/3 the cold compile at ~9%% runtime cost, the "
+                        "right tradeoff for a single-image run. Eval "
+                        "sweeps (tools/test.py) default to greedy.")
     p.add_argument("--mesh", default="auto",
                    choices=["auto", "patch", "none"],
                    help="shard the tile batch over a `patch` device mesh "
@@ -58,7 +64,7 @@ def main():
     depth = model.infer(np.asarray(image_lr), img, cai_mode=args.cai_mode,
                         process_num=args.process_num,
                         image_raw_shape=tuple(args.image_raw_shape),
-                        mesh=mesh)
+                        mesh=mesh, chunk_policy=args.chunk_policy)
     base, ext = os.path.splitext(args.out)
     save_depth_png(depth, args.out, base + "_uint16.png")
     print(f"depth: {depth.shape}, range [{depth.min():.3f}, "

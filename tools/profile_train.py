@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--core", default="vitl")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 compute + bf16 frozen-branch storage, f32 "
+                         "masters (the tools/train.py --amp mode)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,8 @@ def main():
         sigloss=dict(type="SILogLoss"))
     if args.remat:
         config["train_remat"] = True
-    net, _ = build_patchfusion(config)
+    net, _ = build_patchfusion(
+        config, dtype=jnp.bfloat16 if args.amp else jnp.float32)
 
     rng = jax.random.PRNGKey(0)
     image_lr = jnp.zeros((1, 392, 518, 3), jnp.float32)
@@ -73,7 +77,9 @@ def main():
 
     tx = make_onecycle_optimizer(max_lr=4e-5, total_steps=1000)
     state = create_train_state(variables["params"],
-                               variables.get("batch_stats", {}), tx)
+                               variables.get("batch_stats", {}), tx,
+                               frozen_dtype=jnp.bfloat16 if args.amp
+                               else None)
     # donate the state: without it the old and new params/opt-state
     # coexist at the step boundary (~3 GB at vitl f32)
     step = jax.jit(make_train_step(net, tx), donate_argnums=(0,))
@@ -107,9 +113,14 @@ def main():
         _ = float(logs["total_loss"])  # honest fence (host readback)
         times.append(time.time() - t0)
     dt = float(np.median(times))
-    print(f"train step (b{b} {core}{' remat' if args.remat else ''}): {dt * 1e3:.0f} ms = {1 / dt:.2f} "
+    stats = jax.devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    tag = f"b{b} {core}{' remat' if args.remat else ''}" \
+          f"{' amp' if args.amp else ''}"
+    print(f"train step ({tag}): {dt * 1e3:.0f} ms = {1 / dt:.2f} "
           f"step/s = {b / dt:.2f} crops/s  {fl / 1e12:.1f} TFLOP "
-          f"-> {fl / dt / 1e12:.1f} TFLOP/s")
+          f"-> {fl / dt / 1e12:.1f} TFLOP/s"
+          + (f"  peak HBM {peak / 2**30:.1f} GiB" if peak else ""))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,10 @@ def parse_args():
     p.add_argument("--tags", nargs="+", default=None)
     p.add_argument("--wandb", action="store_true", dest="use_wandb")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 mixed precision (reference tools/train.py:40 "
+                        "--amp): modules compute in bf16, frozen branches "
+                        "stored bf16, trainable masters + optimizer f32")
     p.add_argument("--seed", type=int, default=621)
     p.add_argument("--cfg-options", nargs="+", default=[])
     p.add_argument("--coordinator", default=None)
@@ -86,7 +90,12 @@ def main():
             "branch pretraining uses tools/train_branch.py; this entry "
             "trains the PatchFusion fusion stage")
 
-    net, tile_cfg = build_patchfusion(cfg.model["config"])
+    amp = args.amp or cfg.get("train_dtype", "f32") == "bf16"
+    net, tile_cfg = build_patchfusion(
+        cfg.model["config"],
+        dtype=jnp.bfloat16 if amp else jnp.float32)
+    if amp:
+        logger.info("mixed precision: bf16 compute, f32 masters")
 
     def build_loader(dcfg, shuffle):
         ds_cfg = dict(dcfg["dataset"])
@@ -138,7 +147,8 @@ def main():
         variables = _init_variables(net, tile_cfg, args.seed)
 
     state = create_train_state(variables["params"],
-                               variables.get("batch_stats", {}), tx)
+                               variables.get("batch_stats", {}), tx,
+                               frozen_dtype=jnp.bfloat16 if amp else None)
     start_epoch = 0
     if args.resume and args.ckp_path and args.ckp_path.endswith(".ckpt"):
         from patchfusion_tpu.engine.checkpoint import (load_checkpoint,
