@@ -25,6 +25,11 @@ from patchfusion_tpu.utils.misc import setup_logger
 
 BATCH_KEYS = ("image_lr", "crops_image_hr", "depth_gt", "crop_depths",
               "bboxs")
+# keys the jitted train step actually consumes (engine/training.py); the
+# rest of collect_input_args (depth_gt, image_hr) are log-only in the
+# reference train loop too — uploading a 66 MB 4K GT tensor per step
+# through the remote-TPU tunnel would dominate step time
+STEP_KEYS = ("image_lr", "crops_image_hr", "crop_depths", "bboxs")
 
 
 def collect_input(batch: Dict[str, Any], collect_keys) -> Dict[str, Any]:
@@ -105,8 +110,8 @@ class Trainer:
         t0 = time.time()
         it = -1
         for it, batch in enumerate(self.train_loader):
-            device_batch = self._put(collect_input(batch,
-                                                   self.collect_keys))
+            device_batch = self._put(collect_input(
+                batch, [k for k in self.collect_keys if k in STEP_KEYS]))
             self.state, logs = self._step(self.state, device_batch)
             if it % self.log_interval == 0:
                 # host readback = a pipeline sync point; at the default
