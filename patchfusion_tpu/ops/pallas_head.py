@@ -70,7 +70,7 @@ def _h_taps(out_h: int, in_h: int) -> Tuple[np.ndarray, np.ndarray]:
 def logbinomial_depth(p: Array, t: Array, centers: Array,
                       min_temp: float = 0.0212, max_temp: float = 50.0,
                       block_rows: int = 28) -> Array:
-    """Fused depth expectation.
+    """Fused depth expectation (differentiable: custom VJP below).
 
     Args:
       p: (B, OH, OW) probability parameter in (0, 1) (already the p0/(p0+p1)
@@ -81,6 +81,43 @@ def logbinomial_depth(p: Array, t: Array, centers: Array,
     Returns:
       (B, OH, OW) float32 depth.
     """
+    return _logbinomial_depth_diff(p, t, centers, min_temp, max_temp,
+                                   block_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _logbinomial_depth_diff(p, t, centers, min_temp, max_temp, block_rows):
+    """Forward = the Pallas kernel; backward = VJP of the (mathematically
+    identical) unfused reference formulation. pallas_call has no autodiff
+    rule, and the PF-owned metric-bins head sits on the TRAINABLE path of
+    the fusion stage (patchfusion.py:386-397), so the bf16/--amp train step
+    must be able to differentiate through this op. The recomputing backward
+    costs one unfused head pass per step — negligible next to the fusion
+    U-Net backward at training batch sizes."""
+    return _logbinomial_depth_impl(p, t, centers, min_temp, max_temp,
+                                   block_rows)
+
+
+def _logbinomial_fwd(p, t, centers, min_temp, max_temp, block_rows):
+    out = _logbinomial_depth_impl(p, t, centers, min_temp, max_temp,
+                                  block_rows)
+    return out, (p, t, centers)
+
+
+def _logbinomial_bwd(min_temp, max_temp, block_rows, res, g):
+    p, t, centers = res
+    _, vjp = jax.vjp(
+        lambda p_, t_, c_: logbinomial_depth_reference(
+            p_, t_, c_, min_temp, max_temp), p, t, centers)
+    return vjp(g)
+
+
+_logbinomial_depth_diff.defvjp(_logbinomial_fwd, _logbinomial_bwd)
+
+
+def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
+                            min_temp: float, max_temp: float,
+                            block_rows: int) -> Array:
     b, oh, ow = p.shape
     _, ih, iw, k = centers.shape
     assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)

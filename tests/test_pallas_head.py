@@ -32,3 +32,44 @@ def test_logbinomial_depth_matches_reference(rng, monkeypatch):
         p, t, centers, block_rows=8))
     assert out.shape == golden.shape
     np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_logbinomial_depth_grad(rng, monkeypatch):
+    """The fused head sits on the TRAINABLE fusion path (the PF-owned
+    metric-bins head, patchfusion.py:386-397), so the --amp train step
+    differentiates through it: the custom VJP must produce the reference
+    formulation's gradients (regression for the round-4 amp-train crash)."""
+    b, oh, ow = 1, 56, 74
+    ih, iw, k = 32, 42, 64
+    p = jnp.asarray(rng.random((b, oh, ow), dtype=np.float32) * 0.8 + 0.1)
+    t = jnp.asarray(rng.random((b, oh, ow), dtype=np.float32))
+    centers = jnp.asarray(
+        rng.random((b, ih, iw, k), dtype=np.float32) * 70 + 1)
+
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    def loss_fused(p_, t_, c_):
+        return (pallas_head.logbinomial_depth(p_, t_, c_,
+                                              block_rows=8) ** 2).sum()
+
+    def loss_ref(p_, t_, c_):
+        return (pallas_head.logbinomial_depth_reference(p_, t_, c_) ** 2
+                ).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(p, t, centers)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(p, t, centers)
+    for a, g in zip(gf, gr):
+        a, g = np.asarray(a), np.asarray(g)
+        # global relative error: the fused forward differs from the
+        # reference by f32 reassociation, which the squared loss amplifies
+        # elementwise; the gradient field must still match to ~1e-3 of its
+        # own magnitude
+        err = np.max(np.abs(a - g)) / max(np.max(np.abs(g)), 1e-9)
+        assert err < 1e-3, err
