@@ -101,6 +101,20 @@ def main():
     if isinstance(ca, list):
         ca = ca[0]
     fl = float(ca.get("flops", float("nan")))
+    # compile-time HBM accounting — the only memory number available through
+    # the axon tunnel (device.memory_stats() returns None there)
+    try:
+        ma = low.memory_analysis()
+        if ma is not None:
+            total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                     + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+            print(f"memory analysis: args {ma.argument_size_in_bytes / 2**30:.2f}"
+                  f" + out {ma.output_size_in_bytes / 2**30:.2f}"
+                  f" + temp {ma.temp_size_in_bytes / 2**30:.2f}"
+                  f" - aliased {ma.alias_size_in_bytes / 2**30:.2f}"
+                  f" = {total / 2**30:.2f} GiB", file=sys.stderr)
+    except Exception as e:
+        print(f"memory analysis unavailable: {e}", file=sys.stderr)
 
     t0 = time.time()
     state, logs = step(state, batch)
