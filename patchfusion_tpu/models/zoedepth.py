@@ -290,6 +290,31 @@ class ConditionalLogBinomial(nn.Module):
                         align_corners=True)
         return self._pt_tail(a + b + bias.astype(dt))
 
+    def depth_fused(self, x_hi: Array, cond_lo: Array, centers: Array,
+                    block_rows: int) -> Array:
+        """Whole CLB stage (projection + gelu + mlp_2 + softplus ratios +
+        log-binomial softmax + expectation) as ONE pallas kernel — no
+        full-resolution bottleneck ever touches HBM (ops/pallas_head.py::
+        clb_logbinomial_depth). Numerics = params_pt_lowres +
+        logbinomial_depth up to f32 reassociation (interpret-mode parity +
+        grad tests in tests/test_pallas_head.py). NOT wired as the default:
+        on the axon remote-TPU tunnel the kernel's Mosaic compile exhausts
+        the compile helper (SIGKILL); revisit on directly-attached TPUs."""
+        from patchfusion_tpu.ops.pallas_head import clb_logbinomial_depth
+        nin = x_hi.shape[-1]
+        # shape-only calls so the param tree matches params_pt's
+        _ = self.mlp_0(jnp.zeros((1, 1, 1, nin + cond_lo.shape[-1]),
+                                 x_hi.dtype))
+        _ = self.mlp_2(jnp.zeros(
+            (1, 1, 1, self.mlp_0.features), x_hi.dtype))
+        w1 = self.mlp_0.variables["params"]["kernel"][0, 0]
+        b1 = self.mlp_0.variables["params"]["bias"]
+        w2 = self.mlp_2.variables["params"]["kernel"][0, 0]
+        b2 = self.mlp_2.variables["params"]["bias"]
+        return clb_logbinomial_depth(
+            x_hi, cond_lo, centers, w1, b1, w2, b2,
+            self.min_temp, self.max_temp, self.p_eps, block_rows)[..., None]
+
     def __call__(self, x: Array, cond: Array) -> Array:
         p, t = self.params_pt(x, cond)
         t = (self.max_temp - self.min_temp) * t + self.min_temp
@@ -398,8 +423,7 @@ class MetricBinsHead(nn.Module):
             name="conditional_log_binomial")
 
         oh, ow = last.shape[1], last.shape[2]
-        from patchfusion_tpu.ops.pallas_head import (logbinomial_depth,
-                                                     pick_block_rows)
+        from patchfusion_tpu.ops.pallas_head import pick_block_rows
         br = pick_block_rows(oh)
         if self.fused and br and jax.default_backend() == "tpu" \
                 and self.dtype == jnp.bfloat16:
@@ -407,8 +431,14 @@ class MetricBinsHead(nn.Module):
             # the right precision for the bf16 inference path but would
             # degrade a full-f32 run (f32 runs keep the exact unfused path)
             # fused pallas stage: centers upsample + log-binomial softmax +
-            # expectation in one HBM pass (ops/pallas_head.py); condition
-            # projection commuted to low res (params_pt_lowres)
+            # expectation in one HBM pass (ops/pallas_head.py, bin axis on
+            # sublanes); condition projection commuted to low res
+            # (params_pt_lowres). NOTE: the deeper clb_logbinomial_depth
+            # kernel (whole CLB incl. projection in VMEM) is implemented and
+            # interpret-verified, but its Mosaic compile OOM-kills the
+            # remote-TPU compile helper on this environment — see
+            # ConditionalLogBinomial.depth_fused.
+            from patchfusion_tpu.ops.pallas_head import logbinomial_depth
             p, tn = clb.params_pt_lowres(last_cat, b_embedding)
             depth = logbinomial_depth(p, tn, b_centers, self.min_temp,
                                       self.max_temp,

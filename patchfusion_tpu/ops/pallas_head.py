@@ -124,18 +124,21 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
 
     i0_np, th_np = _h_taps(oh, ih)
     ww_np = resize_matrix(ow, iw, "bilinear", align_corners=True)  # (OW, IW)
-    c0_np = _log_binom_coeffs(k)[None]          # (1, K)
-    karr_np = np.arange(k, dtype=np.float32)[None]
-
-    # Mosaic DMA slices must be lane-aligned: pad the bin axis to 128 with
-    # -inf logit coefficients (their softmax weight is exactly 0).
+    # bin axis on SUBLANES for the per-pixel math (K=64 → half the vregs of
+    # a 128-lane-padded layout, and sublane reductions beat cross-lane
+    # shuffles); coefficients as (K, 1) columns broadcast over OW lanes
     k_real = float(k - 1)
+    k_arith = k + (-k) % 8                      # sublane-aligned bin count
+    c0_np = np.pad(_log_binom_coeffs(k), (0, k_arith - k),
+                   constant_values=-1e30)[:, None]     # (Ka, 1)
+    karr_np = np.pad(np.arange(k, dtype=np.float32),
+                     (0, k_arith - k))[:, None]        # (Ka, 1)
+
+    # Mosaic DMA slices must be lane-aligned: pad the bin axis to 128 so the
+    # HBM→VMEM row copies and the MXU contraction tile cleanly.
     if k % 128 != 0:
         kp = -(-k // 128) * 128
         centers = jnp.pad(centers, [(0, 0)] * 3 + [(0, kp - k)])
-        c0_np = np.pad(c0_np, [(0, 0), (0, kp - k)],
-                       constant_values=-1e30)
-        karr_np = np.pad(karr_np, [(0, 0), (0, kp - k)])
         k = kp
 
     n_chunks = oh // block_rows
@@ -167,24 +170,24 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
         jax.lax.fori_loop(0, block_rows, h_row, 0)
         rows = rows_ref[...]
         # W-axis lerp as a banded-matrix contraction on the MXU:
-        # (BH, IW, K) x (OW, IW) -> (BH, K, OW)
+        # (BH, IW, K) x (OW, IW) -> (BH, K, OW); keep K on sublanes and
+        # OW on lanes for the whole per-pixel chain (no swapaxes)
         cent = jax.lax.dot_general(
             rows, ww_ref[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        cent = jnp.swapaxes(cent, 1, 2)  # (BH, OW, K)
+            preferred_element_type=jnp.float32)[:, :k_arith, :]
 
         pv = p_ref[0]                                    # (BH, OW)
         tv = t_ref[0] * (max_temp - min_temp) + min_temp
         eps = 1e-4
-        pc = jnp.clip(pv, eps, 1.0)[..., None]
+        pc = jnp.clip(pv, eps, 1.0)[:, None, :]          # (BH, 1, OW)
         omp = jnp.clip(1.0 - pc, eps, 1.0)
-        kk = karr_ref[0]
-        y = (c0_ref[0] + kk * jnp.log(pc)
-             + (k_real - kk) * jnp.log(omp)) / tv[..., None]
-        y = y - jnp.max(y, axis=-1, keepdims=True)
+        kk = karr_ref[...][None]                         # (1, Ka, 1)
+        y = (c0_ref[...][None] + kk * jnp.log(pc)
+             + (k_real - kk) * jnp.log(omp)) / tv[:, None, :]
+        y = y - jnp.max(y, axis=-2, keepdims=True)
         e = jnp.exp(y)
-        out_ref[0] = jnp.sum(e * cent, axis=-1) / jnp.sum(e, axis=-1)
+        out_ref[0] = jnp.sum(e * cent, axis=-2) / jnp.sum(e, axis=-2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # i0 taps + th weights land in SMEM
@@ -197,9 +200,9 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
             pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
             pl.BlockSpec((ow, iw), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((k_arith, 1), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((k_arith, 1), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_rows, ow),
@@ -219,6 +222,272 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
       p.astype(jnp.float32), t.astype(jnp.float32), centers,
       jnp.asarray(ww_np), jnp.asarray(c0_np), jnp.asarray(karr_np))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deep-fused CLB stage: the whole ConditionalLogBinomial head in ONE pass.
+#
+# The unfused bf16 stage (ConditionalLogBinomial.params_pt_lowres +
+# logbinomial_depth) still streams ~3.5 GB of HBM per 16-tile chunk through
+# the full-resolution 80-channel bottleneck: the x-projection writes it, the
+# condition upsample writes it again, and the gelu+mlp_2 tail reads it all
+# back (measured 16 ms of the 23 ms stage at the fine-branch shapes,
+# tools/profile_clb.py). This kernel keeps the bottleneck in VMEM: per
+# 8-row output block it reads the 33-ch input rows + the LOW-res condition
+# and centers rows, and does projection, bilinear upsampling (H-taps +
+# banded-W MXU contraction), gelu, mlp_2, softplus ratios, log-binomial
+# softmax and the depth expectation entirely on-chip, writing only the
+# depth rows. Implements reference dist_layers.py:72-121 +
+# zoedepth_v1.py:211-219 in one kernel.
+#
+# STATUS: interpret-verified (parity + VJP tests) but NOT the default model
+# path — on the axon remote-TPU tunnel the Mosaic compile of this kernel
+# exhausts the compile-helper process (SIGKILL); a fori-loop variant
+# compiled but ran slower than the unfused stage (19.5 ms vs 18.4 at the
+# fine-branch shapes). Revisit on directly-attached TPU hardware.
+# ---------------------------------------------------------------------------
+
+
+def clb_logbinomial_depth(last_cat: Array, cond_lo: Array, centers: Array,
+                          w1: Array, b1: Array, w2: Array, b2: Array,
+                          min_temp: float = 0.0212, max_temp: float = 50.0,
+                          p_eps: float = 1e-4, block_rows: int = 8) -> Array:
+    """Fused CLB depth (differentiable via recompute-unfused VJP).
+
+    Args:
+      last_cat: (B, OH, OW, Cin) input feature (last 32-ch + rel cond).
+      cond_lo: (B, IH, IW, Cc) bin embedding at the LOW (attractor) res.
+      centers: (B, IH, IW, K) bin centers at the same low res.
+      w1/b1: mlp_0 kernel (Cin+Cc, H) and bias (H,).
+      w2/b2: mlp_2 kernel (H, 4) and bias (4,).
+    Returns: (B, OH, OW) float32 depth.
+    """
+    return _clb_depth_diff(last_cat, cond_lo, centers, w1, b1, w2, b2,
+                           min_temp, max_temp, p_eps, block_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _clb_depth_diff(last_cat, cond_lo, centers, w1, b1, w2, b2,
+                    min_temp, max_temp, p_eps, block_rows):
+    """Forward = Pallas kernel; backward = VJP of the mathematically
+    identical unfused composition (the PF-owned head is on the trainable
+    fusion path, patchfusion.py:386-397)."""
+    return _clb_depth_impl(last_cat, cond_lo, centers, w1, b1, w2, b2,
+                           min_temp, max_temp, p_eps, block_rows)
+
+
+def _clb_depth_fwd(last_cat, cond_lo, centers, w1, b1, w2, b2,
+                   min_temp, max_temp, p_eps, block_rows):
+    out = _clb_depth_impl(last_cat, cond_lo, centers, w1, b1, w2, b2,
+                          min_temp, max_temp, p_eps, block_rows)
+    return out, (last_cat, cond_lo, centers, w1, b1, w2, b2)
+
+
+def _clb_depth_bwd(min_temp, max_temp, p_eps, block_rows, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: clb_depth_reference(*a, min_temp=min_temp,
+                                       max_temp=max_temp, p_eps=p_eps),
+        *res)
+    return vjp(g)
+
+
+_clb_depth_diff.defvjp(_clb_depth_fwd, _clb_depth_bwd)
+
+
+def _clb_depth_impl(last_cat: Array, cond_lo: Array, centers: Array,
+                    w1: Array, b1: Array, w2: Array, b2: Array,
+                    min_temp: float, max_temp: float, p_eps: float,
+                    block_rows: int) -> Array:
+    b, oh, ow, cin = last_cat.shape
+    _, ih, iw, cc = cond_lo.shape
+    _, cih, ciw, k = centers.shape
+    assert (cih, ciw) == (ih, iw), "cond and centers must share the low res"
+    assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)
+    hdim = w1.shape[1]
+
+    i0_np, th_np = _h_taps(oh, ih)
+    ww_np = resize_matrix(ow, iw, "bilinear", align_corners=True)  # (OW, IW)
+    k_real = float(k - 1)
+    k_arith = k + (-k) % 8
+    c0_np = np.pad(_log_binom_coeffs(k), (0, k_arith - k),
+                   constant_values=-1e30)[:, None]     # (Ka, 1)
+    karr_np = np.pad(np.arange(k, dtype=np.float32),
+                     (0, k_arith - k))[:, None]
+
+    # manual HBM→VMEM row DMAs want lane-aligned slices: pad bins to 128
+    if k % 128 != 0:
+        kp = -(-k // 128) * 128
+        centers = jnp.pad(centers, [(0, 0)] * 3 + [(0, kp - k)])
+        k = kp
+    if cc % 128 != 0:
+        ccp = -(-cc // 128) * 128
+        cond_lo = jnp.pad(cond_lo, [(0, 0)] * 3 + [(0, ccp - cc)])
+    else:
+        ccp = cc
+
+    w1a = jnp.asarray(w1[:cin], jnp.float32)           # (Cin, H)
+    w1c = jnp.asarray(
+        jnp.pad(w1[cin:], [(0, ccp - cc), (0, 0)]), jnp.float32)  # (Ccp, H)
+    w2f = jnp.asarray(w2, jnp.float32)                 # (H, 4)
+    b1c = jnp.asarray(b1, jnp.float32)[None]           # (1, H)
+    b2c = jnp.asarray(b2, jnp.float32)[None]           # (1, 4)
+
+    n_chunks = oh // block_rows
+    span = int(np.ceil(block_rows * ih / oh)) + 2
+    span = min(span + (-span) % 8, ih)
+
+    def kernel(i0_ref, th_ref, last_ref, centers_ref, cond_ref, ww_ref,
+               w1a_ref, w1c_ref, b1_ref, w2f_ref, b2_ref, c0_ref, karr_ref,
+               out_ref, src_c, src_b, rows_c, proj_src, rows_b,
+               sem_c, sem_b):
+        bi = pl.program_id(0)
+        r0 = pl.program_id(1) * block_rows
+        base = jnp.minimum(i0_ref[r0], ih - span)
+        cp_c = pltpu.make_async_copy(
+            centers_ref.at[bi, pl.ds(base, span)], src_c, sem_c)
+        cp_b = pltpu.make_async_copy(
+            cond_ref.at[bi, pl.ds(base, span)], src_b, sem_b)
+        cp_c.start()
+        cp_b.start()
+        cp_c.wait()
+        cp_b.wait()
+
+        # project the condition at LOW res (lerp∘project == project∘lerp;
+        # this is the in-kernel form of params_pt_lowres' commute)
+        proj_src[...] = jax.lax.dot_general(
+            src_b[...].astype(jnp.float32), w1c_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (span, IW, H)
+
+        def h_row(i, _):
+            idx = i0_ref[r0 + i] - base
+            wgt = th_ref[r0 + i]
+            c_row0 = src_c[idx].astype(jnp.float32)
+            c_row1 = src_c[jnp.minimum(idx + 1, span - 1)].astype(
+                jnp.float32)
+            rows_c[i] = c_row0 * (1.0 - wgt) + c_row1 * wgt
+            b_row0 = proj_src[idx]
+            b_row1 = proj_src[jnp.minimum(idx + 1, span - 1)]
+            rows_b[i] = b_row0 * (1.0 - wgt) + b_row1 * wgt
+            return 0
+
+        jax.lax.fori_loop(0, block_rows, h_row, 0)
+
+        # W-axis lerps as banded-matrix MXU contractions
+        cent = jax.lax.dot_general(
+            rows_c[...], ww_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, :k_arith, :]
+        bterm = jnp.swapaxes(jax.lax.dot_general(
+            rows_b[...], ww_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), 1, 2)  # (BH, OW, H)
+
+        # input projection, channel-minor (one big minor-dim contraction)
+        a = jax.lax.dot_general(
+            last_ref[0].astype(jnp.float32), w1a_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BH, OW, H)
+
+        # tanh-gelu: the bf16 compute path's activation (ops/activations.py)
+        h = jax.nn.gelu(a + bterm + b1_ref[...][None], approximate=True)
+        out4 = jax.lax.dot_general(
+            h, w2f_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BH, OW, 4)
+        pt = jax.nn.softplus(out4 + b2_ref[...][None])
+        p0 = pt[..., 0] + p_eps
+        p1 = pt[..., 1] + p_eps
+        pv = p0 / (p0 + p1)                            # (BH, OW)
+        t0 = pt[..., 2] + p_eps
+        t1 = pt[..., 3] + p_eps
+        tv = (t0 / (t0 + t1)) * (max_temp - min_temp) + min_temp
+
+        eps = 1e-4
+        pc = jnp.clip(pv, eps, 1.0)[:, None, :]
+        omp = jnp.clip(1.0 - pc, eps, 1.0)
+        kk = karr_ref[...][None]
+        y = (c0_ref[...][None] + kk * jnp.log(pc)
+             + (k_real - kk) * jnp.log(omp)) / tv[:, None, :]
+        y = y - jnp.max(y, axis=-2, keepdims=True)
+        e = jnp.exp(y)
+        out_ref[0] = jnp.sum(e * cent, axis=-2) / jnp.sum(e, axis=-2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, ow, cin),
+                         lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # centers in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),      # cond in HBM
+            pl.BlockSpec((ow, iw), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, hdim), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ccp, hdim), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, 4), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_arith, 1), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_arith, 1), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, ow),
+                               lambda i, j, *_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((span, iw, k), centers.dtype),
+            pltpu.VMEM((span, iw, ccp), cond_lo.dtype),
+            pltpu.VMEM((block_rows, iw, k), jnp.float32),
+            pltpu.VMEM((span, iw, hdim), jnp.float32),
+            pltpu.VMEM((block_rows, iw, hdim), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
+    )(jnp.asarray(i0_np), jnp.asarray(th_np), last_cat, centers, cond_lo,
+      jnp.asarray(ww_np), w1a, w1c, b1c, w2f, b2c,
+      jnp.asarray(c0_np), jnp.asarray(karr_np))
+    return out
+
+
+def clb_depth_reference(last_cat: Array, cond_lo: Array, centers: Array,
+                        w1: Array, b1: Array, w2: Array, b2: Array,
+                        min_temp: float = 0.0212, max_temp: float = 50.0,
+                        p_eps: float = 1e-4) -> Array:
+    """Unfused f32 composition of the same math (tanh-gelu bf16-path
+    contract): params_pt_lowres + logbinomial_depth_reference. Used by the
+    fused kernel's VJP and by the parity tests."""
+    from patchfusion_tpu.ops.resize import interpolate
+
+    cin = last_cat.shape[-1]
+    oh, ow = last_cat.shape[1:3]
+    a = jnp.einsum("bhwc,cf->bhwf", last_cat.astype(jnp.float32),
+                   w1[:cin].astype(jnp.float32))
+    bb = jnp.einsum("bhwc,cf->bhwf", cond_lo.astype(jnp.float32),
+                    w1[cin:].astype(jnp.float32))
+    bb = interpolate(bb, (oh, ow), mode="bilinear", align_corners=True)
+    h = a + bb + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    pt = jax.nn.softplus(jnp.einsum("bhwf,fo->bhwo", h,
+                                    w2.astype(jnp.float32))
+                         + b2.astype(jnp.float32))
+    p = pt[..., :2] + p_eps
+    p = p[..., 0] / (p[..., 0] + p[..., 1])
+    t = pt[..., 2:] + p_eps
+    t = t[..., 0] / (t[..., 0] + t[..., 1])
+    return logbinomial_depth_reference(p, t, centers, min_temp, max_temp)
 
 
 def logbinomial_depth_reference(p: Array, t: Array, centers: Array,

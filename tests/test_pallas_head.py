@@ -34,6 +34,65 @@ def test_logbinomial_depth_matches_reference(rng, monkeypatch):
     np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
 
 
+def _interp(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+
+def _clb_inputs(rng):
+    b, oh, ow = 2, 56, 74
+    ih, iw, k = 32, 42, 64
+    cin, cc, h = 33, 128, 80
+    last = rng.random((b, oh, ow, cin), dtype=np.float32) - 0.5
+    cond = rng.random((b, ih, iw, cc), dtype=np.float32) - 0.5
+    centers = rng.random((b, ih, iw, k), dtype=np.float32) * 70 + 1
+    w1 = (rng.random((cin + cc, h), dtype=np.float32) - 0.5) * 0.2
+    b1 = (rng.random((h,), dtype=np.float32) - 0.5)
+    w2 = (rng.random((h, 4), dtype=np.float32) - 0.5) * 0.2
+    b2 = (rng.random((4,), dtype=np.float32) - 0.5)
+    return last, cond, centers, w1, b1, w2, b2
+
+
+def test_clb_depth_fused_matches_reference(rng, monkeypatch):
+    """Deep-fused CLB stage (projection+gelu+mlp2+softplus+logbinomial in
+    one kernel) vs the unfused composition."""
+    args = _clb_inputs(rng)
+    golden = np.asarray(pallas_head.clb_depth_reference(*args))
+    _interp(monkeypatch)
+    out = np.asarray(pallas_head.clb_logbinomial_depth(
+        *args, block_rows=8))
+    assert out.shape == golden.shape
+    np.testing.assert_allclose(out, golden, rtol=2e-4, atol=2e-4)
+
+
+def test_clb_depth_fused_grad(rng, monkeypatch):
+    """The fused CLB sits on the trainable PF-head path: its VJP must match
+    the unfused composition's gradients for inputs AND weights."""
+    args = tuple(jnp.asarray(a) for a in _clb_inputs(rng))
+    _interp(monkeypatch)
+
+    def loss_fused(*a):
+        return (pallas_head.clb_logbinomial_depth(
+            *a, block_rows=8) ** 2).sum()
+
+    def loss_ref(*a):
+        return (pallas_head.clb_depth_reference(*a) ** 2).sum()
+
+    idx = tuple(range(len(args)))
+    gf = jax.grad(loss_fused, argnums=idx)(*args)
+    gr = jax.grad(loss_ref, argnums=idx)(*args)
+    for a, g in zip(gf, gr):
+        a, g = np.asarray(a), np.asarray(g)
+        err = np.max(np.abs(a - g)) / max(np.max(np.abs(g)), 1e-9)
+        assert err < 1e-3, err
+
+
 def test_logbinomial_depth_grad(rng, monkeypatch):
     """The fused head sits on the TRAINABLE fusion path (the PF-owned
     metric-bins head, patchfusion.py:386-397), so the --amp train step
