@@ -18,6 +18,8 @@ from patchfusion_tpu.utils.misc import setup_logger
 
 
 class Tester:
+    __test__ = False  # not a pytest class despite the Test* name
+
     def __init__(self, engine, dataloader, work_dir: str = "./work_dir",
                  save: bool = False, gray_scale: bool = False, logger=None):
         self.engine = engine

@@ -301,6 +301,13 @@ class ConditionalLogBinomial(nn.Module):
         on the axon remote-TPU tunnel the kernel's Mosaic compile exhausts
         the compile helper (SIGKILL); revisit on directly-attached TPUs."""
         from patchfusion_tpu.ops.pallas_head import clb_logbinomial_depth
+        # bf16-only contract: the kernel (and its recompute VJP) hardcode
+        # tanh-GELU, which only matches _pt_tail's activation when the
+        # compute dtype is bf16 (f32 keeps exact erf-GELU for reference
+        # parity) — mirror the MetricBinsHead fused-path gate
+        assert x_hi.dtype == jnp.bfloat16, (
+            "depth_fused is bf16-only (tanh-GELU contract); got "
+            f"{x_hi.dtype}")
         nin = x_hi.shape[-1]
         # shape-only calls so the param tree matches params_pt's
         _ = self.mlp_0(jnp.zeros((1, 1, 1, nin + cond_lo.shape[-1]),

@@ -65,6 +65,55 @@ def _h_taps(out_h: int, in_h: int) -> Tuple[np.ndarray, np.ndarray]:
     return i0, t
 
 
+class _HeadPlan:
+    """Shared host-side setup for the fused head kernels: H-axis taps,
+    banded W-resize matrix, sublane-padded log-binomial constants, 128-lane
+    centers padding and the source-row DMA span. Factoring it keeps
+    _logbinomial_depth_impl and _clb_depth_impl from drifting apart
+    (the two kernels fuse the same epilogue)."""
+
+    def __init__(self, oh: int, ow: int, ih: int, iw: int, k: int,
+                 centers: Array, block_rows: int):
+        assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)
+        self.i0_np, self.th_np = _h_taps(oh, ih)
+        self.ww_np = resize_matrix(ow, iw, "bilinear",
+                                   align_corners=True)  # (OW, IW)
+        self.k_real = float(k - 1)
+        self.k_arith = k + (-k) % 8            # sublane-aligned bin count
+        self.c0_np = np.pad(_log_binom_coeffs(k), (0, self.k_arith - k),
+                            constant_values=-1e30)[:, None]     # (Ka, 1)
+        self.karr_np = np.pad(np.arange(k, dtype=np.float32),
+                              (0, self.k_arith - k))[:, None]   # (Ka, 1)
+        # Mosaic DMA slices must be lane-aligned: pad the bin axis to 128 so
+        # HBM→VMEM row copies and the MXU contraction tile cleanly
+        if k % 128 != 0:
+            kp = -(-k // 128) * 128
+            centers = jnp.pad(centers, [(0, 0)] * 3 + [(0, kp - k)])
+            k = kp
+        self.centers = centers
+        self.k_pad = k
+        self.n_chunks = oh // block_rows
+        # max src rows any output chunk touches (+1 tap, +1 slack)
+        span = int(np.ceil(block_rows * ih / oh)) + 2
+        self.span = min(span + (-span) % 8, ih)  # sublane-align the DMA
+
+
+def _logbinom_expect(pv, tv, cent, c0_ref, karr_ref, k_real):
+    """In-kernel epilogue shared by both fused heads: per-pixel log-binomial
+    logits over the sublane bin axis, max-subtracted softmax, and the
+    probability-weighted depth expectation (dist_layers.py:51-69 +
+    zoedepth_v1.py:217-219). pv/tv: (BH, OW); cent: (BH, Ka, OW)."""
+    eps = 1e-4
+    pc = jnp.clip(pv, eps, 1.0)[:, None, :]          # (BH, 1, OW)
+    omp = jnp.clip(1.0 - pc, eps, 1.0)
+    kk = karr_ref[...][None]                         # (1, Ka, 1)
+    y = (c0_ref[...][None] + kk * jnp.log(pc)
+         + (k_real - kk) * jnp.log(omp)) / tv[:, None, :]
+    y = y - jnp.max(y, axis=-2, keepdims=True)
+    e = jnp.exp(y)
+    return jnp.sum(e * cent, axis=-2) / jnp.sum(e, axis=-2)
+
+
 @functools.partial(jax.jit, static_argnames=("min_temp", "max_temp",
                                              "block_rows"))
 def logbinomial_depth(p: Array, t: Array, centers: Array,
@@ -120,31 +169,12 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
                             block_rows: int) -> Array:
     b, oh, ow = p.shape
     _, ih, iw, k = centers.shape
-    assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)
-
-    i0_np, th_np = _h_taps(oh, ih)
-    ww_np = resize_matrix(ow, iw, "bilinear", align_corners=True)  # (OW, IW)
     # bin axis on SUBLANES for the per-pixel math (K=64 → half the vregs of
     # a 128-lane-padded layout, and sublane reductions beat cross-lane
     # shuffles); coefficients as (K, 1) columns broadcast over OW lanes
-    k_real = float(k - 1)
-    k_arith = k + (-k) % 8                      # sublane-aligned bin count
-    c0_np = np.pad(_log_binom_coeffs(k), (0, k_arith - k),
-                   constant_values=-1e30)[:, None]     # (Ka, 1)
-    karr_np = np.pad(np.arange(k, dtype=np.float32),
-                     (0, k_arith - k))[:, None]        # (Ka, 1)
-
-    # Mosaic DMA slices must be lane-aligned: pad the bin axis to 128 so the
-    # HBM→VMEM row copies and the MXU contraction tile cleanly.
-    if k % 128 != 0:
-        kp = -(-k // 128) * 128
-        centers = jnp.pad(centers, [(0, 0)] * 3 + [(0, kp - k)])
-        k = kp
-
-    n_chunks = oh // block_rows
-    # max src rows any output chunk touches (+1 tap, +1 slack)
-    span = int(np.ceil(block_rows * ih / oh)) + 2
-    span = min(span + (-span) % 8, ih)  # sublane-align the DMA
+    plan = _HeadPlan(oh, ow, ih, iw, k, centers, block_rows)
+    centers, k_arith, k_real = plan.centers, plan.k_arith, plan.k_real
+    k, span = plan.k_pad, plan.span
 
     def kernel(i0_ref, th_ref, p_ref, t_ref, centers_ref, ww_ref, c0_ref,
                karr_ref, out_ref, src_ref, rows_ref, sem):
@@ -179,25 +209,18 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
 
         pv = p_ref[0]                                    # (BH, OW)
         tv = t_ref[0] * (max_temp - min_temp) + min_temp
-        eps = 1e-4
-        pc = jnp.clip(pv, eps, 1.0)[:, None, :]          # (BH, 1, OW)
-        omp = jnp.clip(1.0 - pc, eps, 1.0)
-        kk = karr_ref[...][None]                         # (1, Ka, 1)
-        y = (c0_ref[...][None] + kk * jnp.log(pc)
-             + (k_real - kk) * jnp.log(omp)) / tv[:, None, :]
-        y = y - jnp.max(y, axis=-2, keepdims=True)
-        e = jnp.exp(y)
-        out_ref[0] = jnp.sum(e * cent, axis=-2) / jnp.sum(e, axis=-2)
+        out_ref[0] = _logbinom_expect(pv, tv, cent, c0_ref, karr_ref,
+                                      k_real)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # i0 taps + th weights land in SMEM
-        grid=(b, n_chunks),
+        grid=(b, plan.n_chunks),
         in_specs=[
             pl.BlockSpec((1, block_rows, ow), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows, ow), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM
             pl.BlockSpec((ow, iw), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_arith, 1), lambda i, j, *_: (0, 0),
@@ -218,9 +241,10 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
-    )(jnp.asarray(i0_np), jnp.asarray(th_np),
+    )(jnp.asarray(plan.i0_np), jnp.asarray(plan.th_np),
       p.astype(jnp.float32), t.astype(jnp.float32), centers,
-      jnp.asarray(ww_np), jnp.asarray(c0_np), jnp.asarray(karr_np))
+      jnp.asarray(plan.ww_np), jnp.asarray(plan.c0_np),
+      jnp.asarray(plan.karr_np))
     return out
 
 
@@ -302,23 +326,11 @@ def _clb_depth_impl(last_cat: Array, cond_lo: Array, centers: Array,
     _, ih, iw, cc = cond_lo.shape
     _, cih, ciw, k = centers.shape
     assert (cih, ciw) == (ih, iw), "cond and centers must share the low res"
-    assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)
     hdim = w1.shape[1]
 
-    i0_np, th_np = _h_taps(oh, ih)
-    ww_np = resize_matrix(ow, iw, "bilinear", align_corners=True)  # (OW, IW)
-    k_real = float(k - 1)
-    k_arith = k + (-k) % 8
-    c0_np = np.pad(_log_binom_coeffs(k), (0, k_arith - k),
-                   constant_values=-1e30)[:, None]     # (Ka, 1)
-    karr_np = np.pad(np.arange(k, dtype=np.float32),
-                     (0, k_arith - k))[:, None]
-
-    # manual HBM→VMEM row DMAs want lane-aligned slices: pad bins to 128
-    if k % 128 != 0:
-        kp = -(-k // 128) * 128
-        centers = jnp.pad(centers, [(0, 0)] * 3 + [(0, kp - k)])
-        k = kp
+    plan = _HeadPlan(oh, ow, ih, iw, k, centers, block_rows)
+    centers, k_arith, k_real = plan.centers, plan.k_arith, plan.k_real
+    k, span = plan.k_pad, plan.span
     if cc % 128 != 0:
         ccp = -(-cc // 128) * 128
         cond_lo = jnp.pad(cond_lo, [(0, 0)] * 3 + [(0, ccp - cc)])
@@ -331,10 +343,6 @@ def _clb_depth_impl(last_cat: Array, cond_lo: Array, centers: Array,
     w2f = jnp.asarray(w2, jnp.float32)                 # (H, 4)
     b1c = jnp.asarray(b1, jnp.float32)[None]           # (1, H)
     b2c = jnp.asarray(b2, jnp.float32)[None]           # (1, 4)
-
-    n_chunks = oh // block_rows
-    span = int(np.ceil(block_rows * ih / oh)) + 2
-    span = min(span + (-span) % 8, ih)
 
     def kernel(i0_ref, th_ref, last_ref, centers_ref, cond_ref, ww_ref,
                w1a_ref, w1c_ref, b1_ref, w2f_ref, b2_ref, c0_ref, karr_ref,
@@ -402,26 +410,18 @@ def _clb_depth_impl(last_cat: Array, cond_lo: Array, centers: Array,
         t0 = pt[..., 2] + p_eps
         t1 = pt[..., 3] + p_eps
         tv = (t0 / (t0 + t1)) * (max_temp - min_temp) + min_temp
-
-        eps = 1e-4
-        pc = jnp.clip(pv, eps, 1.0)[:, None, :]
-        omp = jnp.clip(1.0 - pc, eps, 1.0)
-        kk = karr_ref[...][None]
-        y = (c0_ref[...][None] + kk * jnp.log(pc)
-             + (k_real - kk) * jnp.log(omp)) / tv[:, None, :]
-        y = y - jnp.max(y, axis=-2, keepdims=True)
-        e = jnp.exp(y)
-        out_ref[0] = jnp.sum(e * cent, axis=-2) / jnp.sum(e, axis=-2)
+        out_ref[0] = _logbinom_expect(pv, tv, cent, c0_ref, karr_ref,
+                                      k_real)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, n_chunks),
+        grid=(b, plan.n_chunks),
         in_specs=[
             pl.BlockSpec((1, block_rows, ow, cin),
                          lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # centers in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),      # cond in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # centers in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # cond in HBM
             pl.BlockSpec((ow, iw), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cin, hdim), lambda i, j, *_: (0, 0),
@@ -456,9 +456,9 @@ def _clb_depth_impl(last_cat: Array, cond_lo: Array, centers: Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
-    )(jnp.asarray(i0_np), jnp.asarray(th_np), last_cat, centers, cond_lo,
-      jnp.asarray(ww_np), w1a, w1c, b1c, w2f, b2c,
-      jnp.asarray(c0_np), jnp.asarray(karr_np))
+    )(jnp.asarray(plan.i0_np), jnp.asarray(plan.th_np), last_cat, centers,
+      cond_lo, jnp.asarray(plan.ww_np), w1a, w1c, b1c, w2f, b2c,
+      jnp.asarray(plan.c0_np), jnp.asarray(plan.karr_np))
     return out
 
 

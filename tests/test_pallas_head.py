@@ -73,7 +73,13 @@ def test_clb_depth_fused_matches_reference(rng, monkeypatch):
 
 def test_clb_depth_fused_grad(rng, monkeypatch):
     """The fused CLB sits on the trainable PF-head path: its VJP must match
-    the unfused composition's gradients for inputs AND weights."""
+    the unfused composition's gradients for inputs AND weights.
+
+    NOTE: the custom VJP internally recomputes clb_depth_reference, so the
+    grad-vs-reference comparison validates wiring/argument order only. The
+    finite-difference spot check at the end closes the loop: it probes the
+    fused FORWARD directly, so a forward/backward inconsistency of the
+    kernel itself (not just the VJP plumbing) would fail it."""
     args = tuple(jnp.asarray(a) for a in _clb_inputs(rng))
     _interp(monkeypatch)
 
@@ -91,6 +97,27 @@ def test_clb_depth_fused_grad(rng, monkeypatch):
         a, g = np.asarray(a), np.asarray(g)
         err = np.max(np.abs(a - g)) / max(np.max(np.abs(g)), 1e-9)
         assert err < 1e-3, err
+
+    # central finite differences of the fused forward at a few weight
+    # coordinates (w2 drives the p/t ratios — the most nonlinear path).
+    # The squared loss is accumulated in f64 on the host (an on-device f32
+    # sum quantizes to ~±2 at this loss magnitude, swamping h*grad)
+    def loss64(a):
+        d = np.asarray(pallas_head.clb_logbinomial_depth(
+            *[jnp.asarray(x, jnp.float32) for x in a], block_rows=8),
+            np.float64)
+        return float((d ** 2).sum())
+
+    f64 = [np.asarray(a, np.float64) for a in args]
+    h = 3e-2
+    for coord in [(0, 0), (3, 1), (5 % f64[5].shape[0], 3)]:
+        plus = [a.copy() for a in f64]
+        minus = [a.copy() for a in f64]
+        plus[5][coord] += h
+        minus[5][coord] -= h
+        fd = (loss64(plus) - loss64(minus)) / (2 * h)
+        an = float(np.asarray(gf[5])[coord])
+        assert abs(fd - an) / max(abs(an), 1e-3) < 5e-2, (coord, fd, an)
 
 
 def test_logbinomial_depth_grad(rng, monkeypatch):
