@@ -7,7 +7,8 @@ estimate of the PyTorch reference's A100 throughput for the same config
 (49 ZoeDepth-vitl tile passes + 1 coarse pass per image; the reference
 README:61 states inference time is linear in base-model time).
 
-Env overrides: BENCH_CORE (vitl|vitb|vits), BENCH_MODE (m1|m2|rN),
+Env overrides: BENCH_CORE (vitl|vitb|vits|beit — beit selects the
+ZoeDepth/MiDaS DPT_BEiT_L_384 variant at 384x512), BENCH_MODE (m1|m2|rN),
 BENCH_DTYPE (bf16|f32), BENCH_ITERS, BENCH_PROCESS_NUM.
 """
 
@@ -19,11 +20,11 @@ import time
 import numpy as np
 
 # persistent XLA compilation cache: repeated bench runs (and the driver's
-# end-of-round run) skip the multi-minute AOT compile
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+# end-of-round run) deserialize the engine executables instead of paying
+# the multi-minute XLA compile. NOTE: env vars here would be too late —
+# sitecustomize already imported jax — so the cache is enabled via
+# jax.config.update at patchfusion_tpu import (utils/cache.py; the
+# round-2..4 "tunnel can't cache" caveat was exactly this late-env bug).
 
 # A100 80GB PyTorch 2.1 estimate for DA-vitl p49 4K inference, img/s.
 # FLOPs-grounded (see BASELINE.md "A100 baseline derivation"): XLA cost
@@ -96,6 +97,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from patchfusion_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     core = os.environ.get("BENCH_CORE", "vitl")
     mode = os.environ.get("BENCH_MODE", "m2")
     dtype_s = os.environ.get("BENCH_DTYPE", "bf16")
@@ -113,22 +117,41 @@ def main():
     from patchfusion_tpu.models.builder import build_patchfusion
     from patchfusion_tpu.engine.inference import PatchFusionInference
 
-    sizes = [(14, 19), (28, 37), (56, 74), (112, 148), (224, 296),
-             (392, 518)]
-    c = {"vits": 64, "vitb": 128, "vitl": 256}[core]
-    zoe = dict(type="DA-ZoeDepth", midas_model_type=core,
-               img_size=[392, 518], n_bins=64, bin_centers_type="softplus",
-               bin_embedding_dim=128, n_attractors=[16, 8, 4, 1],
-               attractor_alpha=1000, attractor_gamma=2,
-               attractor_kind="mean", attractor_type="inv",
-               min_temp=0.0212, max_temp=50.0)
+    if core == "beit":
+        # the ZoeDepth (MiDaS DPT_BEiT_L_384) variant, reference
+        # configs/patchfusion_zoedepth/zoedepth_patchfusion_u4k.py
+        proc = (384, 512)
+        zoe = dict(type="ZoeDepth", midas_model_type="DPT_BEiT_L_384",
+                   img_size=list(proc), n_bins=64,
+                   bin_centers_type="softplus", bin_embedding_dim=128,
+                   n_attractors=[16, 8, 4, 1], attractor_alpha=1000,
+                   attractor_gamma=2, attractor_kind="mean",
+                   attractor_type="inv", min_temp=0.0212, max_temp=50.0)
+        fusion_in = [32, 256, 256, 256, 256, 256]
+        # BEiT patch 16: grid 24x32, pyramid = half-grid .. full res
+        # (reference zoedepth_patchfusion_u4k.py num_patches)
+        sizes = [(12, 16), (24, 32), (48, 64), (96, 128), (192, 256),
+                 (384, 512)]
+    else:
+        proc = (392, 518)
+        c = {"vits": 64, "vitb": 128, "vitl": 256}[core]
+        zoe = dict(type="DA-ZoeDepth", midas_model_type=core,
+                   img_size=list(proc), n_bins=64,
+                   bin_centers_type="softplus", bin_embedding_dim=128,
+                   n_attractors=[16, 8, 4, 1], attractor_alpha=1000,
+                   attractor_gamma=2, attractor_kind="mean",
+                   attractor_type="inv", min_temp=0.0212, max_temp=50.0)
+        fusion_in = [32, c, c, c, c, c]
+        # DINOv2 patch 14: grid 28x37, pyramid = half-grid .. full res
+        sizes = [(14, 19), (28, 37), (56, 74), (112, 148), (224, 296),
+                 (392, 518)]
     config = dict(
         image_raw_shape=(2160, 3840), patch_split_num=(4, 4),
-        patch_process_shape=(392, 518), min_depth=1e-3, max_depth=80,
+        patch_process_shape=proc, min_depth=1e-3, max_depth=80,
         coarse_branch=zoe, fine_branch=zoe,
         guided_fusion=dict(type="GuidedFusionPatchFusion",
-                           patch_process_shape=(392, 518),
-                           in_channels=[32, c, c, c, c, c],
+                           patch_process_shape=proc,
+                           in_channels=fusion_in,
                            num_patches=[h * w for (h, w) in sizes[::-1]],
                            n_channels=5, g2l=True),
         sigloss=dict(type="SILogLoss"))
@@ -181,11 +204,10 @@ def main():
     compile_s = time.time() - t0
     cache_after = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) \
         else 0
-    # NOTE: new persistent-cache entries do NOT imply the big engine
-    # executables were cached — through the axon tunnel only small
-    # host-side programs ever persist (BASELINE.md caveat), so a full
-    # recompile can still report 0 new entries. compile_first_s is the
-    # honest number; cache_new_entries is diagnostic only.
+    # cache_new_entries is diagnostic: >0 means this run compiled and
+    # persisted executables (cold), 0 means everything deserialized from
+    # the cache (warm). compile_first_s is the honest user-facing number
+    # either way (warm = backend init + deserialize + first image).
     new_entries = cache_after - cache_before
     print(f"compile+first: {compile_s:.1f}s "
           f"({new_entries} new cache entries)", file=sys.stderr,

@@ -1,7 +1,7 @@
-# PatchFusion with the ZoeDepth (MiDaS DPT_BEiT_L_384) base model.
-# NOTE: the BEiT core is an optional backend (its weights come from a
-# non-vendored torch.hub in the reference, midas.py:340); the builder raises
-# until the MiDaS core lands (SURVEY build plan stage 10).
+# PatchFusion with the ZoeDepth (MiDaS DPT_BEiT_L_384) base model
+# (reference configs/patchfusion_zoedepth/zoedepth_patchfusion_u4k.py).
+# The BEiT core is models/beit.py; weights convert via
+# tools/convert_checkpoint.py (family dispatch handles the rel-pos tables).
 _base_ = ["../patchfusion_depthanything/depthanything_vitl_patchfusion_u4k.py"]
 
 model = dict(config=dict(

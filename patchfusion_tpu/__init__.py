@@ -24,13 +24,20 @@ import os as _os
 
 # Persistent XLA compile cache for every entry point (CLI tools, tests,
 # subprocess smokes): full-scale programs take minutes to compile; cache
-# keys include platform+version so one directory serves CPU and TPU. Set
-# before any jax backend init (importing this package precedes jax use in
-# all tools). Opt out with JAX_COMPILATION_CACHE_DIR="".
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))), ".jax_cache"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+# keys include platform+version so one directory serves CPU and TPU.
+# Opt out with JAX_COMPILATION_CACHE_DIR="".
+#
+# The env var alone is NOT enough in this image: sitecustomize registers
+# the remote-TPU backend at interpreter startup, importing jax before any
+# tool/package code runs, which freezes jax's jax_compilation_cache_dir
+# config default as None — the cache then silently never initializes
+# (this was the round-2..4 "executables never persist" mystery). So apply
+# the directory through jax.config.update too (utils/cache.py).
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR") != "":
+    from patchfusion_tpu.utils.cache import (
+        enable_persistent_cache as _enable_persistent_cache)
+    # export the chosen dir so child processes and dir-listing diagnostics
+    # (bench.py) agree with the live config
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _enable_persistent_cache()
 
 from patchfusion_tpu.config import Config, ConfigDict  # noqa: F401

@@ -264,11 +264,14 @@ def _logbinomial_depth_impl(p: Array, t: Array, centers: Array,
 # depth rows. Implements reference dist_layers.py:72-121 +
 # zoedepth_v1.py:211-219 in one kernel.
 #
-# STATUS: interpret-verified (parity + VJP tests) but NOT the default model
-# path — on the axon remote-TPU tunnel the Mosaic compile of this kernel
-# exhausts the compile-helper process (SIGKILL); a fori-loop variant
-# compiled but ran slower than the unfused stage (19.5 ms vs 18.4 at the
-# fine-branch shapes). Revisit on directly-attached TPU hardware.
+# STATUS: EXPERIMENTAL-FROZEN — interpret-verified (parity + VJP tests) but
+# NOT the default model path and not pending perf work. On the axon
+# remote-TPU tunnel the Mosaic compile of this kernel exhausts the
+# compile-helper process (SIGKILL) even with reduced hdim/row-block tiling;
+# the one variant that compiles (fori-loop over H-taps) runs SLOWER than
+# the unfused XLA stage (19.5 ms vs 18.4 at the fine-branch shapes), so
+# there is no configuration on this environment where the kernel both
+# compiles and wins. Revisit only on directly-attached TPU hardware.
 # ---------------------------------------------------------------------------
 
 
