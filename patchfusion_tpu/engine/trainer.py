@@ -93,15 +93,46 @@ class Trainer:
         # every call (tools/train.py) — the unchanged frozen branches alias
         # straight through the step (donated input buffer == output buffer),
         # so no stale reference is ever dereferenced.
-        self._step = jax.jit(train_step,
-                             out_shardings=(self.repl, self.repl),
-                             donate_argnums=(0,) if donate else ())
+        self._jit_step = jax.jit(train_step,
+                                 out_shardings=(self.repl, self.repl),
+                                 donate_argnums=(0,) if donate else ())
+        # the public handle (tests may wrap it to spy on losses)
+        self._step = self._jit_step
+        self._first_step_synced = False
+
+    def _sync_before_first_step(self, device_batch) -> None:
+        """Multi-process runs: compile the train step ahead-of-time and
+        rendezvous before the first execution. The CPU (Gloo) and DCN
+        collective contexts initialize lazily on the FIRST collective with
+        a hard ~30 s peer timeout; per-process compile skew (minutes for
+        the full-scale step) otherwise kills the job at the step's gradient
+        psum ("Gloo context initialization failed: DEADLINE_EXCEEDED",
+        observed on the 2-process virtual-mesh run). The AOT compile lands
+        in the persistent compile cache, so the subsequent jit call pays a
+        deserialize at worst."""
+        if self._first_step_synced:
+            return
+        self._first_step_synced = True
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+        self._jit_step.lower(self.state, device_batch).compile()
+        multihost_utils.sync_global_devices("pf-train-first-step")
 
     def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         out = {}
+        multiproc = jax.process_count() > 1
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = jax.device_put(v, self.data_sharding)
+                if multiproc:
+                    # each process loads only ITS sampler shard (reference
+                    # DistributedSampler semantics, tools/train.py:174); the
+                    # per-host local batch assembles into one global
+                    # batch-sharded array over the data mesh
+                    out[k] = jax.make_array_from_process_local_data(
+                        self.data_sharding, v)
+                else:
+                    out[k] = jax.device_put(v, self.data_sharding)
         return out
 
     def train_epoch(self, epoch: int) -> None:
@@ -112,6 +143,7 @@ class Trainer:
         for it, batch in enumerate(self.train_loader):
             device_batch = self._put(collect_input(
                 batch, [k for k in self.collect_keys if k in STEP_KEYS]))
+            self._sync_before_first_step(device_batch)
             self.state, logs = self._step(self.state, device_batch)
             if it % self.log_interval == 0:
                 # host readback = a pipeline sync point; at the default
@@ -130,7 +162,13 @@ class Trainer:
                                 prefix="Train")
         jax.block_until_ready(self.state.step)
         dt = time.time() - t0
-        stats = jax.devices()[0].memory_stats() or {}
+        # local_devices: in multi-process runs jax.devices()[0] is the
+        # GLOBAL first device, which is non-addressable on ranks > 0 and
+        # memory_stats() raises INVALID_ARGUMENT there
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:  # CPU backends may not implement memory_stats
+            stats = {}
         peak = stats.get("peak_bytes_in_use")
         self.logger.info(
             "epoch %d done: %d iters in %.1fs (%.2f steps/s)%s", epoch,

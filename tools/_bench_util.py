@@ -46,10 +46,16 @@ def device_time(fn, args, inner: int = 10, repeats: int = 3) -> float:
             x_it, *rest_it = jax.lax.optimization_barrier((x, *rest))
             out = fn(x_it, *rest_it)
             leaf = jax.tree.leaves(out)[0]
-            dep = jnp.ravel(leaf)[0].astype(x.dtype) * 0
-            # nudge the input by a value XLA can't constant-fold away:
-            # serializes iterations, keeps numerics identical (adds 0)
-            return (x + dep, jnp.ravel(leaf)[0].astype(jnp.float32)), None
+            # serialize iterations with a REAL data dependency. `leaf*0`
+            # is NOT safe here: XLA's algebraic simplifier folds mul-by-
+            # zero, deleting the carry chain — the loop body then has no
+            # cross-trip dependence and measurements came out ABOVE the
+            # MXU peak (observed 380-460 "TF/s" at inner=100). A tiny
+            # scaled nudge is unfoldable and perturbs the input by ~1e-30,
+            # far below bf16 resolution for the op under test.
+            dep = jnp.ravel(leaf)[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return (x + dep.astype(x.dtype),
+                    jnp.ravel(leaf)[0].astype(jnp.float32)), None
         (xf, last), _ = jax.lax.scan(body, (x0, jnp.zeros((), jnp.float32)),
                                      None, length=inner)
         return last
