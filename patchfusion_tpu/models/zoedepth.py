@@ -290,6 +290,31 @@ class ConditionalLogBinomial(nn.Module):
                         align_corners=True)
         return self._pt_tail(a + b + bias.astype(dt))
 
+    def params_pt_fused(self, x_hi: Array, cond_lo: Array,
+                        block_rows: int) -> Tuple[Array, Array]:
+        """params_pt_lowres as ONE pallas kernel (ops/pallas_head.py::
+        clb_pt): the full-resolution 80-channel bottleneck never touches
+        HBM — projection, condition upsample, gelu and the mlp_2 tail run
+        per row-block in VMEM. Numerics = params_pt_lowres up to f32
+        reassociation (parity + grad tests in tests/test_pallas_head.py).
+        bf16 inference path only (tanh-GELU contract, see depth_fused)."""
+        from patchfusion_tpu.ops.pallas_head import clb_pt
+        assert x_hi.dtype == jnp.bfloat16, (
+            "params_pt_fused is bf16-only (tanh-GELU contract); got "
+            f"{x_hi.dtype}")
+        nin = x_hi.shape[-1]
+        # shape-only calls so the param tree matches params_pt's
+        _ = self.mlp_0(jnp.zeros((1, 1, 1, nin + cond_lo.shape[-1]),
+                                 x_hi.dtype))
+        _ = self.mlp_2(jnp.zeros(
+            (1, 1, 1, self.mlp_0.features), x_hi.dtype))
+        w1 = self.mlp_0.variables["params"]["kernel"][0, 0]
+        b1 = self.mlp_0.variables["params"]["bias"]
+        w2 = self.mlp_2.variables["params"]["kernel"][0, 0]
+        b2 = self.mlp_2.variables["params"]["bias"]
+        return clb_pt(x_hi, cond_lo, w1, b1, w2, b2, self.p_eps,
+                      block_rows)
+
     def depth_fused(self, x_hi: Array, cond_lo: Array, centers: Array,
                     block_rows: int) -> Array:
         """Whole CLB stage (projection + gelu + mlp_2 + softplus ratios +
@@ -446,7 +471,7 @@ class MetricBinsHead(nn.Module):
             # remote-TPU compile helper on this environment — see
             # ConditionalLogBinomial.depth_fused.
             from patchfusion_tpu.ops.pallas_head import logbinomial_depth
-            p, tn = clb.params_pt_lowres(last_cat, b_embedding)
+            p, tn = clb.params_pt_fused(last_cat, b_embedding, br)
             depth = logbinomial_depth(p, tn, b_centers, self.min_temp,
                                       self.max_temp,
                                       block_rows=br)[..., None]

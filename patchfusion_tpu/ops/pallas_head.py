@@ -465,6 +465,235 @@ def _clb_depth_impl(last_cat: Array, cond_lo: Array, centers: Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fused CLB parameter stage (p, t) — the "pre" half of the head.
+#
+# The unfused bf16 stage (ConditionalLogBinomial.params_pt_lowres) costs
+# 16 ms of the 18.4 ms CLB stage at the fine-branch shapes (tools/
+# profile_clb.py): XLA materializes the full-resolution 80-channel
+# bottleneck three times (x-projection write, condition-upsample write,
+# gelu+mlp_2 read-back) — ~3.4 GB of HBM per 16-tile chunk sustaining only
+# ~210 GB/s because every pass is a small-K matmul. This kernel keeps the
+# bottleneck entirely in VMEM: per 8-row output block it DMAs the low-res
+# condition rows, projects them on the MXU, lerps H (dynamic row taps) and
+# W (banded-matrix contraction), projects the 33-ch input rows, and runs
+# the gelu+mlp_2+softplus tail — writing only the two (B, OH, OW) maps.
+# It is the deep clb_logbinomial_depth kernel MINUS the centers-upsample +
+# log-binomial epilogue (which stays in the separately-proven
+# logbinomial_depth kernel): that epilogue is what pushed the deep
+# kernel's Mosaic compile over the remote helper's memory.
+# Implements reference dist_layers.py:103-121 (the ConditionalLogBinomial
+# MLP) at params_pt_lowres' commuted-projection formulation.
+# ---------------------------------------------------------------------------
+
+
+def clb_pt(last_cat: Array, cond_lo: Array, w1: Array, b1: Array,
+           w2: Array, b2: Array, p_eps: float = 1e-4,
+           block_rows: int = 8) -> Tuple[Array, Array]:
+    """Fused (p, t_norm) parameter maps (differentiable via recompute VJP).
+
+    Args:
+      last_cat: (B, OH, OW, Cin) input feature (last 32-ch + rel cond).
+      cond_lo: (B, IH, IW, Cc) bin embedding at the LOW (attractor) res.
+      w1/b1: mlp_0 kernel (Cin+Cc, H) and bias (H,).
+      w2/b2: mlp_2 kernel (H, 4) and bias (4,).
+    Returns: p, t_norm — both (B, OH, OW) float32, t pre temp-scaling
+      (same contract as ConditionalLogBinomial.params_pt_lowres).
+    """
+    return _clb_pt_diff(last_cat, cond_lo, w1, b1, w2, b2, p_eps,
+                        block_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _clb_pt_diff(last_cat, cond_lo, w1, b1, w2, b2, p_eps, block_rows):
+    """Forward = Pallas kernel; backward = VJP of the mathematically
+    identical unfused composition (the PF-owned head is on the trainable
+    fusion path, patchfusion.py:386-397)."""
+    return _clb_pt_impl(last_cat, cond_lo, w1, b1, w2, b2, p_eps,
+                        block_rows)
+
+
+def _clb_pt_fwd(last_cat, cond_lo, w1, b1, w2, b2, p_eps, block_rows):
+    out = _clb_pt_impl(last_cat, cond_lo, w1, b1, w2, b2, p_eps,
+                       block_rows)
+    return out, (last_cat, cond_lo, w1, b1, w2, b2)
+
+
+def _clb_pt_bwd(p_eps, block_rows, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: clb_pt_reference(*a, p_eps=p_eps), *res)
+    return vjp(g)
+
+
+_clb_pt_diff.defvjp(_clb_pt_fwd, _clb_pt_bwd)
+
+
+def _clb_pt_impl(last_cat: Array, cond_lo: Array, w1: Array, b1: Array,
+                 w2: Array, b2: Array, p_eps: float,
+                 block_rows: int) -> Tuple[Array, Array]:
+    b, oh, ow, cin = last_cat.shape
+    _, ih, iw, cc = cond_lo.shape
+    hdim = w1.shape[1]
+    assert oh % block_rows == 0 and block_rows % 8 == 0, (oh, block_rows)
+
+    i0_np, th_np = _h_taps(oh, ih)
+    ww_np = resize_matrix(ow, iw, "bilinear", align_corners=True)  # (OW, IW)
+    span = int(np.ceil(block_rows * ih / oh)) + 2
+    span = min(span + (-span) % 8, ih)
+    n_chunks = oh // block_rows
+    # per-chunk H-lerp slab: rows_b = hh[j] @ proj_src is an MXU
+    # contraction instead of a fori_loop of dynamically-indexed VMEM row
+    # reads (Mosaic lowers those to per-row copies — measured 2x slower
+    # than the whole unfused stage)
+    base_np = np.minimum(i0_np[::block_rows], ih - span)   # (n_chunks,)
+    hh_np = np.zeros((n_chunks, block_rows, span), np.float32)
+    for j in range(n_chunks):
+        for r in range(block_rows):
+            g = j * block_rows + r
+            i = int(i0_np[g] - base_np[j])
+            w = float(th_np[g])
+            hh_np[j, r, i] += 1.0 - w
+            hh_np[j, r, min(i + 1, span - 1)] += w
+    if cc % 128 != 0:
+        ccp = -(-cc // 128) * 128
+        cond_lo = jnp.pad(cond_lo, [(0, 0)] * 3 + [(0, ccp - cc)])
+    else:
+        ccp = cc
+
+    w1a = jnp.asarray(w1[:cin], jnp.float32)                     # (Cin, H)
+    w1c = jnp.asarray(
+        jnp.pad(w1[cin:], [(0, ccp - cc), (0, 0)]), jnp.float32)  # (Ccp, H)
+    w2f = jnp.asarray(w2, jnp.float32)                           # (H, 4)
+    b1c = jnp.asarray(b1, jnp.float32)[None]                     # (1, H)
+    b2c = jnp.asarray(b2, jnp.float32)[None]                     # (1, 4)
+
+    def kernel(base_ref, hh_ref, last_ref, cond_ref, ww_ref, w1a_ref,
+               w1c_ref, b1_ref, w2f_ref, b2_ref, p_ref, t_ref,
+               src_b, sem_b):
+        bi = pl.program_id(0)
+        j = pl.program_id(1)
+        cp_b = pltpu.make_async_copy(
+            cond_ref.at[bi, pl.ds(base_ref[j], span)], src_b, sem_b)
+        cp_b.start()
+        cp_b.wait()
+
+        # project the condition at LOW res (lerp∘project == project∘lerp;
+        # the in-kernel form of params_pt_lowres' commute)
+        proj_src = jax.lax.dot_general(
+            src_b[...].astype(jnp.float32), w1c_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (span, IW, H)
+
+        # H-axis lerp with the per-chunk slab, statically unrolled over the
+        # small source span: each term is a (block,) x (IW, H) broadcast
+        # multiply — no dynamic VMEM indexing (Mosaic lowers that to
+        # per-row copies) and no 3D dot_general (unsupported shape cast)
+        hh = hh_ref[0]                                   # (BH, span)
+        rows_b = hh[:, 0][:, None, None] * proj_src[0][None]
+        for s in range(1, span):
+            rows_b = rows_b + hh[:, s][:, None, None] * proj_src[s][None]
+
+        # W-axis lerp as a banded-matrix MXU contraction
+        bterm = jnp.swapaxes(jax.lax.dot_general(
+            rows_b, ww_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), 1, 2)   # (BH, OW, H)
+
+        # input projection, channel-minor
+        a = jax.lax.dot_general(
+            last_ref[0].astype(jnp.float32), w1a_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BH, OW, H)
+
+        # tanh-gelu at the INPUT dtype: in-model (bf16) this matches the
+        # default path, where _pt_tail's act_gelu sees a bf16 bottleneck
+        # (and halves the vreg pressure); f32 inputs keep f32 for the
+        # interpret-mode parity tests
+        act_dt = last_ref.dtype
+        h = jax.nn.gelu((a + bterm + b1_ref[...][None]).astype(act_dt),
+                        approximate=True)
+        out4 = jax.lax.dot_general(
+            h, w2f_ref[...].astype(act_dt),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BH, OW, 4)
+        pt = jax.nn.softplus(out4 + b2_ref[...][None])
+        p0 = pt[..., 0] + p_eps
+        p1 = pt[..., 1] + p_eps
+        p_ref[0] = p0 / (p0 + p1)
+        t0 = pt[..., 2] + p_eps
+        t1 = pt[..., 3] + p_eps
+        t_ref[0] = t0 / (t0 + t1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, span), lambda i, j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),       # H-lerp slab
+            pl.BlockSpec((1, block_rows, ow, cin),
+                         lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),           # cond in HBM
+            pl.BlockSpec((ow, iw), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, hdim), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ccp, hdim), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, 4), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_rows, ow), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, ow), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((span, iw, ccp), cond_lo.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
+                   jax.ShapeDtypeStruct((b, oh, ow), jnp.float32)),
+    )(jnp.asarray(base_np), jnp.asarray(hh_np), last_cat, cond_lo,
+      jnp.asarray(ww_np), w1a, w1c, b1c, w2f, b2c)
+
+
+def clb_pt_reference(last_cat: Array, cond_lo: Array, w1: Array, b1: Array,
+                     w2: Array, b2: Array, p_eps: float = 1e-4
+                     ) -> Tuple[Array, Array]:
+    """Unfused composition of the same math (tanh-gelu bf16-path contract):
+    params_pt_lowres without the module wrapper. Used by the fused kernel's
+    VJP and by the parity tests."""
+    from patchfusion_tpu.ops.resize import interpolate
+
+    cin = last_cat.shape[-1]
+    oh, ow = last_cat.shape[1:3]
+    a = jnp.einsum("bhwc,cf->bhwf", last_cat.astype(jnp.float32),
+                   w1[:cin].astype(jnp.float32))
+    bb = jnp.einsum("bhwc,cf->bhwf", cond_lo.astype(jnp.float32),
+                    w1[cin:].astype(jnp.float32))
+    bb = interpolate(bb, (oh, ow), mode="bilinear", align_corners=True)
+    h = a + bb + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    pt = jax.nn.softplus(jnp.einsum("bhwf,fo->bhwo", h,
+                                    w2.astype(jnp.float32))
+                         + b2.astype(jnp.float32))
+    p = pt[..., :2] + p_eps
+    p = p[..., 0] / (p[..., 0] + p[..., 1])
+    t = pt[..., 2:] + p_eps
+    t = t[..., 0] / (t[..., 0] + t[..., 1])
+    return p, t
+
+
 def clb_depth_reference(last_cat: Array, cond_lo: Array, centers: Array,
                         w1: Array, b1: Array, w2: Array, b2: Array,
                         min_temp: float = 0.0212, max_temp: float = 50.0,

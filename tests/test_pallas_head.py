@@ -120,6 +120,46 @@ def test_clb_depth_fused_grad(rng, monkeypatch):
         assert abs(fd - an) / max(abs(an), 1e-3) < 5e-2, (coord, fd, an)
 
 
+def test_clb_pt_fused_matches_reference(rng, monkeypatch):
+    """Fused (p, t) parameter stage (projection+upsample+gelu+mlp2 in one
+    kernel, the DEFAULT bf16 head path) vs the unfused composition."""
+    last, cond, _, w1, b1, w2, b2 = _clb_inputs(rng)
+    args = (last, cond, w1, b1, w2, b2)
+    gp, gt = pallas_head.clb_pt_reference(*args)
+    _interp(monkeypatch)
+    p, t = pallas_head.clb_pt(*args, block_rows=8)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(gp),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(gt),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_clb_pt_fused_grad(rng, monkeypatch):
+    """clb_pt sits on the trainable PF-head path: its VJP must match the
+    unfused composition's gradients for inputs AND weights. The VJP
+    recomputes clb_pt_reference, so this validates wiring/argument order;
+    the forward-vs-reference parity test above covers the kernel itself."""
+    last, cond, _, w1, b1, w2, b2 = _clb_inputs(rng)
+    args = tuple(jnp.asarray(a) for a in (last, cond, w1, b1, w2, b2))
+    _interp(monkeypatch)
+
+    def loss_fused(*a):
+        p, t = pallas_head.clb_pt(*a, block_rows=8)
+        return (p ** 2).sum() + (t ** 2).sum()
+
+    def loss_ref(*a):
+        p, t = pallas_head.clb_pt_reference(*a)
+        return (p ** 2).sum() + (t ** 2).sum()
+
+    idx = tuple(range(len(args)))
+    gf = jax.grad(loss_fused, argnums=idx)(*args)
+    gr = jax.grad(loss_ref, argnums=idx)(*args)
+    for a, g in zip(gf, gr):
+        a, g = np.asarray(a), np.asarray(g)
+        err = np.max(np.abs(a - g)) / max(np.max(np.abs(g)), 1e-9)
+        assert err < 1e-3, err
+
+
 def test_logbinomial_depth_grad(rng, monkeypatch):
     """The fused head sits on the TRAINABLE fusion path (the PF-owned
     metric-bins head, patchfusion.py:386-397), so the --amp train step

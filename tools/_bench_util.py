@@ -45,17 +45,26 @@ def device_time(fn, args, inner: int = 10, repeats: int = 3) -> float:
             # undercounts (observed 10x for multi-input modules)
             x_it, *rest_it = jax.lax.optimization_barrier((x, *rest))
             out = fn(x_it, *rest_it)
-            leaf = jax.tree.leaves(out)[0]
-            # serialize iterations with a REAL data dependency. `leaf*0`
-            # is NOT safe here: XLA's algebraic simplifier folds mul-by-
-            # zero, deleting the carry chain — the loop body then has no
-            # cross-trip dependence and measurements came out ABOVE the
-            # MXU peak (observed 380-460 "TF/s" at inner=100). A tiny
-            # scaled nudge is unfoldable and perturbs the input by ~1e-30,
-            # far below bf16 resolution for the op under test.
-            dep = jnp.ravel(leaf)[0].astype(jnp.float32) * jnp.float32(1e-30)
-            return (x + dep.astype(x.dtype),
-                    jnp.ravel(leaf)[0].astype(jnp.float32)), None
+            # serialize iterations with a REAL data dependency on EVERY
+            # element of EVERY output leaf. Two earlier forms were wrong:
+            #   * `leaf*0` — the algebraic simplifier folds mul-by-zero,
+            #     deleting the carry chain (measured ABOVE the MXU peak);
+            #   * `ravel(leaf)[0]` — a slice directly on the output lets
+            #     XLA dead-code-NARROW the op under test (a matmul whose
+            #     only consumer is one element becomes a single dot row:
+            #     single-op probes read 2x+ peak, and multi-output modules
+            #     lose every leaf after the first).
+            # A max over all leaves is not distributable over the op's
+            # algebra and consumes all elements; its cost is a VPU
+            # reduction XLA fuses into the producer's epilogue. The
+            # 1e-30-scaled nudge perturbs x by far less than bf16
+            # resolution.
+            dep = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                dep = jnp.maximum(
+                    dep, jnp.max(jnp.abs(leaf).astype(jnp.float32)))
+            return (x + (dep * jnp.float32(1e-30)).astype(x.dtype),
+                    dep), None
         (xf, last), _ = jax.lax.scan(body, (x0, jnp.zeros((), jnp.float32)),
                                      None, length=inner)
         return last

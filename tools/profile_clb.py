@@ -22,7 +22,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--inner", type=int, default=10)
+    ap.add_argument("--ptrows", type=int, default=0,
+                    help="block_rows override for the clb_pt kernel")
     ap.add_argument("--only-fused", action="store_true")
+    ap.add_argument("--deep", action="store_true",
+                    help="also attempt the EXPERIMENTAL-FROZEN deep kernel "
+                         "(its Mosaic compile SIGKILLs the remote helper "
+                         "on this environment)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +83,38 @@ def main():
                         inner=args.inner)
         print(f"clb full stage           {t * 1e3:7.3f} ms", flush=True)
 
-    # deep-fused single kernel
+    # fused (p, t) parameter kernel + the logbinom kernel (the new default
+    # bf16 head path)
+    from patchfusion_tpu.ops.pallas_head import clb_pt
+    w1 = v["params"]["mlp_0"]["kernel"][0, 0]
+    b1 = v["params"]["mlp_0"]["bias"]
+    w2 = v["params"]["mlp_2"]["kernel"][0, 0]
+    b2 = v["params"]["mlp_2"]["bias"]
+
+    ptr = args.ptrows or br
+
+    def pt_fused(lc, cl):
+        return clb_pt(lc, cl, w1, b1, w2, b2, 1e-4, ptr)
+
+    def full_fused(lc, cl, bc):
+        p, tn = clb_pt(lc, cl, w1, b1, w2, b2, 1e-4, ptr)
+        return logbinomial_depth(p, tn, bc, 0.0212, 50.0, block_rows=br)
+
+    pr, tr_ = jax.jit(pre_only)(last_cat, cond_lo)
+    pg, tg = jax.jit(pt_fused)(last_cat, cond_lo)
+    perr = float(np.max(np.abs(np.asarray(pg) - np.asarray(pr))))
+    terr = float(np.max(np.abs(np.asarray(tg) - np.asarray(tr_))))
+    t = device_time(pt_fused, (last_cat, cond_lo), inner=args.inner)
+    print(f"clb_pt FUSED kernel      {t * 1e3:7.3f} ms  "
+          f"p-err {perr:.2e} t-err {terr:.2e}", flush=True)
+    t = device_time(full_fused, (last_cat, cond_lo, b_centers),
+                    inner=args.inner)
+    print(f"clb full (pt+logbinom)   {t * 1e3:7.3f} ms", flush=True)
+
+    if not args.deep:
+        return
+
+    # deep-fused single kernel (EXPERIMENTAL-FROZEN, --deep only)
     from patchfusion_tpu.ops.pallas_head import clb_logbinomial_depth
     w1 = v["params"]["mlp_0"]["kernel"][0, 0]
     b1 = v["params"]["mlp_0"]["bias"]

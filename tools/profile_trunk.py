@@ -74,6 +74,12 @@ def main():
     mm = lambda a, w_: jnp.dot(a, w_, preferred_element_type=jnp.bfloat16)
     fl = lambda k_, n_: 2.0 * b * n * k_ * n_
 
+    # timer-overhead calibration: the scan body's barrier + max(out) +
+    # x+dep add, measured with fn=identity at the main activation shape.
+    # Subtract this from the per-op rows below to get the op's own time.
+    row("timer overhead (id x3)", lambda y: y, x3)
+    row("timer overhead (id h3)", lambda y: y, h3)
+
     t_qkv = row("qkv 2d", mm, x2, w_qkv, flops=fl(d, 3 * d))
     row("qkv 3d", mm, x3, w_qkv, flops=fl(d, 3 * d))
     t_proj = row("proj 2d", mm, x2, w_proj, flops=fl(d, d))
